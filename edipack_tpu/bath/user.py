@@ -1,0 +1,136 @@
+"""User-facing bath manipulations on the packed bath array.
+
+Parity target: reference ED_BATH/ED_BATH_USER.f90 (:116-125): symmetry
+operations drivers apply between DMFT iterations, plus the global
+replica/general matrix-basis setters (ED_BATH_REPLICA.f90:124-145,
+reference `ed_set_Hreplica`/`ed_set_Hgeneral`).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..config import EDConfig, get_config
+from .dmft_bath import array_to_bath, bath_to_array
+from .replica import ReplicaBasis, make_basis
+
+# module-level basis store (the reference keeps Hb as a Fortran global)
+_global_basis: Optional[ReplicaBasis] = None
+
+
+def ed_set_hreplica(hvec, lambdavec, nbath: Optional[int] = None) -> ReplicaBasis:
+    """Install the replica-bath matrix basis. ``hvec``: (Nsym,Nspin,Nspin,
+    Norb,Norb) (or flattened (Nsym, Nspin*Norb, Nspin*Norb)); ``lambdavec``:
+    (Nbath,Nsym) or (Nsym,)."""
+    global _global_basis
+    cfg = get_config()
+    hvec = np.asarray(hvec)
+    if hvec.ndim == 3:  # (Nsym, Nspin*Norb, Nspin*Norb)
+        ns, no = cfg.nspin, cfg.norb
+        hvec = hvec.reshape(-1, ns, no, ns, no).transpose(0, 1, 3, 2, 4)
+    _global_basis = make_basis(hvec, lambdavec, nbath=nbath or cfg.nbath)
+    return _global_basis
+
+
+ed_set_hgeneral = ed_set_hreplica
+
+
+def get_global_basis() -> Optional[ReplicaBasis]:
+    return _global_basis
+
+
+def clear_global_basis() -> None:
+    global _global_basis
+    _global_basis = None
+
+
+# ---------------------------------------------------------------------------
+# packed-array symmetrizations (normal/hybrid baths)
+# ---------------------------------------------------------------------------
+
+
+def _with_bath(bath_array, fn, cfg=None):
+    cfg = cfg or get_config()
+    b = array_to_bath(np.asarray(bath_array, float), cfg, _global_basis)
+    fn(b)
+    return bath_to_array(b)
+
+
+def ed_spin_symmetrize_bath(bath_array, save: bool = False, cfg=None):
+    """Copy the spin-up bath into spin-down (reference spin_symmetrize_bath)."""
+    def fn(b):
+        if b.is_replica:
+            raise ValueError("spin_symmetrize undefined for replica bath")
+        for arr in (b.e, b.v, b.d, b.u):
+            if arr is not None and arr.shape[0] > 1:
+                arr[1] = arr[0]
+    return _with_bath(bath_array, fn, cfg)
+
+
+def ed_orb_symmetrize_bath(bath_array, orb1: Optional[int] = None,
+                           orb2: Optional[int] = None, save: bool = False,
+                           cfg=None):
+    """Average bath parameters over orbitals (all, or the given 1-based pair)."""
+    def fn(b):
+        if b.is_replica:
+            raise ValueError("orb_symmetrize undefined for replica bath")
+        for arr in (b.e, b.v, b.d, b.u):
+            if arr is None or arr.shape[1] == 1:
+                continue
+            if orb1 is None:
+                arr[:, :, :] = arr.mean(axis=1, keepdims=True)
+            else:
+                avg = 0.5 * (arr[:, orb1 - 1] + arr[:, orb2 - 1])
+                arr[:, orb1 - 1] = avg
+                arr[:, orb2 - 1] = avg
+    return _with_bath(bath_array, fn, cfg)
+
+
+def ed_orb_equality_bath(bath_array, indx: int = 1, save: bool = False, cfg=None):
+    """Set every orbital's bath equal to that of orbital ``indx`` (1-based)."""
+    def fn(b):
+        if b.is_replica:
+            raise ValueError("orb_equality undefined for replica bath")
+        for arr in (b.e, b.v, b.d, b.u):
+            if arr is None or arr.shape[1] == 1:
+                continue
+            arr[:, :, :] = arr[:, indx - 1: indx, :]
+    return _with_bath(bath_array, fn, cfg)
+
+
+def ed_break_symmetry_bath(bath_array, field: float, sign: float = 1.0,
+                           save: bool = False, cfg=None):
+    """Shift up/down bath levels by ±field*sign to seed magnetic solutions
+    (reference break_symmetry_bath)."""
+    def fn(b):
+        if b.is_replica:
+            raise ValueError("break_symmetry undefined for replica bath")
+        b.e[0] += sign * field
+        b.e[-1] -= sign * field
+    return _with_bath(bath_array, fn, cfg)
+
+
+def ed_ph_symmetrize_bath(bath_array, save: bool = False, cfg=None):
+    """Enforce particle-hole symmetry: levels in ± pairs (reference
+    ph_symmetrize_bath)."""
+    def fn(b):
+        if b.is_replica:
+            raise ValueError("ph_symmetrize undefined for replica bath")
+        nb = b.e.shape[2]
+        for i in range(nb // 2):
+            b.e[:, :, nb - 1 - i] = -b.e[:, :, i]
+            b.v[:, :, nb - 1 - i] = b.v[:, :, i]
+            if b.d is not None:
+                b.d[:, :, nb - 1 - i] = b.d[:, :, i]
+        if nb % 2 == 1:
+            b.e[:, :, nb // 2] = 0.0
+    return _with_bath(bath_array, fn, cfg)
+
+
+def ed_enforce_normal_bath(bath_array, save: bool = False, cfg=None):
+    """Zero all superconducting amplitudes (reference enforce_normal_bath)."""
+    def fn(b):
+        if b.d is not None:
+            b.d[:] = 0.0
+    return _with_bath(bath_array, fn, cfg)

@@ -1,0 +1,243 @@
+"""Solver lifecycle and the `ed_*` functional API.
+
+Parity target: reference ED_MAIN.f90 (`ed_init_solver` :90-139, `ed_solve`
+:164-228, `ed_finalize_solver` :236-266) and the EDIPACK.f90 re-export
+surface. The class :class:`EDSolver` is the underlying object API; the
+module-level `ed_*` functions mirror the reference's global-state workflow.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from .config import EDConfig, get_config
+from .umatrix import TwoBodyTerm, Umatrix, build_umatrix, make_term
+from .bath.dmft_bath import (array_to_bath, bath_to_array, get_bath_dimension,
+                             init_bath)
+from .bath.user import get_global_basis
+from .solver.core import SolveResult, solve_impurity
+
+# ---------------------------------------------------------------------------
+# object API
+# ---------------------------------------------------------------------------
+
+
+class EDSolver:
+    """One impurity solver instance (the reference equivalent is the global
+    module state between ed_init_solver / ed_finalize_solver)."""
+
+    def __init__(self, cfg: Optional[EDConfig] = None):
+        self.cfg = cfg or get_config()
+        self.cfg.validate()
+        self.hloc = np.zeros((self.cfg.nspin, self.cfg.nspin,
+                              self.cfg.norb, self.cfg.norb), dtype=complex)
+        self.runtime_terms: List[TwoBodyTerm] = []
+        self.result: Optional[SolveResult] = None
+        self.basis = get_global_basis()
+        self.neigen_sector_override = None
+
+    # -- lifecycle ------------------------------------------------------
+    def init_solver(self, bath_array: Optional[np.ndarray] = None) -> np.ndarray:
+        """Initialize (or adopt) the bath; returns the packed bath array
+        (reference ed_init_solver fills the user array in place)."""
+        self.basis = get_global_basis()
+        if bath_array is not None and np.asarray(bath_array).size \
+                == get_bath_dimension(self.cfg, self.basis) \
+                and np.any(np.asarray(bath_array) != 0):
+            self.bath = array_to_bath(bath_array, self.cfg, self.basis)
+        else:
+            import os
+            restart = self.cfg.hfile + self.cfg.ed_file_suffix + ".restart"
+            self.bath = init_bath(self.cfg, basis=self.basis,
+                                  restart_file=restart)
+        return bath_to_array(self.bath)
+
+    def set_hloc(self, hloc: np.ndarray) -> None:
+        """reference ed_set_Hloc (ED_AUX_FUNX.f90:202-274). Accepts
+        (Nspin,Nspin,Norb,Norb) or (Nspin*Norb, Nspin*Norb)."""
+        ns, no = self.cfg.nspin, self.cfg.norb
+        h = np.asarray(hloc, dtype=complex)
+        if h.shape == (ns * no, ns * no):
+            h = h.reshape(ns, no, ns, no).transpose(0, 2, 1, 3)
+        if h.shape != (ns, ns, no, no):
+            raise ValueError(f"bad Hloc shape {h.shape}")
+        self.hloc = h
+
+    def add_twobody_operator(self, oi, si, oj, sj, ok, sk, ol, sl, u) -> None:
+        self.runtime_terms.append(make_term(oi, si, oj, sj, ok, sk, ol, sl, u))
+
+    def reset_umatrix(self) -> None:
+        self.runtime_terms = []
+
+    def solve(self, bath_array: Optional[np.ndarray] = None) -> SolveResult:
+        if bath_array is not None:
+            self.bath = array_to_bath(bath_array, self.cfg, self.basis)
+        um = build_umatrix(self.cfg, runtime_terms=self.runtime_terms)
+        self.result = solve_impurity(self.cfg, self.hloc, um, self.bath,
+                                     neigen_override=self.neigen_sector_override)
+        return self.result
+
+    def finalize(self) -> None:
+        self.result = None
+
+
+# ---------------------------------------------------------------------------
+# module-level functional API (global-state parity with the reference)
+# ---------------------------------------------------------------------------
+
+_solver: Optional[EDSolver] = None
+
+
+def _S() -> EDSolver:
+    if _solver is None:
+        raise RuntimeError("call ed_init_solver first")
+    return _solver
+
+
+def ed_init_solver(bath=None, cfg: Optional[EDConfig] = None):
+    global _solver
+    _solver = EDSolver(cfg)
+    arr = _solver.init_solver(bath)
+    if bath is not None and hasattr(bath, "__setitem__") \
+            and np.asarray(bath).size == arr.size:
+        np.asarray(bath)[...] = arr.reshape(np.asarray(bath).shape)
+    return arr
+
+
+def ed_set_hloc(hloc) -> None:
+    _S().set_hloc(hloc)
+
+
+def ed_solve(bath=None):
+    return _S().solve(np.asarray(bath, float) if bath is not None else None)
+
+
+def ed_finalize_solver() -> None:
+    global _solver
+    if _solver is not None:
+        _solver.finalize()
+    _solver = None
+
+
+def ed_get_bath_dimension(cfg: Optional[EDConfig] = None) -> int:
+    return get_bath_dimension(cfg or get_config(), get_global_basis())
+
+
+def ed_add_twobody_operator(oi, si, oj, sj, ok, sk, ol, sl, u) -> None:
+    _S().add_twobody_operator(oi, si, oj, sj, ok, sk, ol, sl, u)
+
+
+def ed_reset_umatrix() -> None:
+    _S().reset_umatrix()
+
+
+# -- result getters (reference ED_IO) ---------------------------------------
+
+
+def _R() -> "SolveResult":
+    r = _S().result
+    if r is None:
+        raise RuntimeError("call ed_solve first")
+    return r
+
+
+def ed_get_sigma(zeta=None, axis="m", typ="n"):
+    return _R().get_sigma(zeta, axis, typ)
+
+
+def ed_get_gimp(zeta=None, axis="m", typ="n"):
+    return _R().get_gimp(zeta, axis, typ)
+
+
+def ed_get_g0imp(zeta=None, axis="m", typ="n"):
+    return _R().get_g0imp(zeta, axis, typ)
+
+
+def ed_get_dimp(zeta=None, axis="m"):
+    return _R().get_dimp(zeta, axis)
+
+
+def ed_get_g0and(zeta, bath=None, axis="m", typ="n"):
+    return _R().get_g0and(zeta, axis, typ)
+
+
+def ed_get_delta(zeta, bath=None, axis="m", typ="n"):
+    return _R().get_delta(zeta, axis, typ)
+
+
+def ed_get_dens():
+    return _R().dens
+
+
+def ed_get_docc():
+    return _R().docc
+
+
+def ed_get_mag(component="z"):
+    return _R().mag[{"x": 0, "y": 1, "z": 2}[component]]
+
+
+def ed_get_phi():
+    return _R().phisc
+
+
+def ed_get_argphi():
+    return _R().argphi
+
+
+def ed_get_exct():
+    return _R().exct
+
+
+def ed_get_eimp():
+    return _R().energies
+
+
+def ed_get_doubles():
+    return _R().doubles
+
+
+def ed_get_evals():
+    return _R().evals
+
+
+def ed_get_neigen_sector():
+    return _R().neigen_sector
+
+
+def ed_set_neigen_sector(neigen):
+    _S().neigen_sector_override = np.asarray(neigen, int)
+
+
+def ed_get_chi(kind="spin", zeta=None, axis="m"):
+    return _R().get_chi(kind, zeta, axis)
+
+
+def ed_get_rdm(norbs=None):
+    return _R().get_rdm(norbs)
+
+
+def ed_get_sp_dm():
+    return _R().single_particle_dm
+
+
+def ed_get_imp_info():
+    return _R().imp_info
+
+
+def ed_search_variable(var: float, ntmp: float, converged: bool):
+    """Chemical-potential search helper (reference ed_search_variable /
+    search_chemical_potential, ED_AUX_FUNX.f90:1228-1516): adjust ``var``
+    toward the target density cfg.nread given the measured density ``ntmp``."""
+    from .solver.mu_search import search_variable
+    return search_variable(get_config(), var, ntmp, converged)
+
+
+def ed_chi2_fitgf(func, bath, ispin=1, iorb=None, fmpi=True):
+    """Bath fit on the packed user array (reference ed_chi2_fitgf,
+    ED_FIT/ED_BATH_FIT.f90:29-55)."""
+    from .bath.fit import chi2_fitgf
+    cfg = get_config()
+    return chi2_fitgf(cfg, np.asarray(func), np.asarray(bath, float),
+                      ispin=ispin, iorb=iorb, basis=get_global_basis())

@@ -1,0 +1,134 @@
+"""Susceptibilities (normal mode; reference ED_CHI_FUNCTIONS.f90 guard :57-85).
+
+Parity targets: ED_NORMAL/ED_CHI_SPIN/DENS/PAIR/EXCT. For a Hermitian
+operator O (spin Sz_a, density n_a) and eigenstate |ψ>:
+  χ_O(z) = Σ_n |<n|O|ψ>|² [ 1/(z - (En-Ei)) - 1/(z + (En-Ei)) ]
+(both ± poles, reference lanc_ed_build_spinChi). Pair χ uses O = c_a↑ c_a↓
+(non-Hermitian; particle/hole channels like the GF). All operators are
+diagonal-axis or axis-gather maps on V[ph, dw, up].
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EDConfig
+from ..fock import occupations
+from ..ops.sector_ops import spin_axis_op
+from ..sectors import SectorTable
+from .eigenspace import StateList
+from .greens import GFMatrix, _moments_from_phi
+
+
+def _diag_op_apply(v3, diag_up: np.ndarray, diag_dw: np.ndarray):
+    """Apply a density-like operator d_up(n_up) + d_dw(n_dw), diagonal in the
+    occupation basis, to the state tensor."""
+    du = jnp.asarray(diag_up)
+    dd = jnp.asarray(diag_dw)
+    return v3 * (du[None, None, :] + dd[None, :, None])
+
+
+def build_chi_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
+                     matvec_builder, dense_eig_cache) -> GFMatrix:
+    chi = GFMatrix()
+    w = sl.boltzmann_weights()
+    norb = cfg.norb
+    ns = table.dims.ns
+
+    for ist, st in enumerate(sl):
+        sec = table.sector(st.sector)
+        v3 = jnp.reshape(st.vector, (sec.dim_ph, sec.dim_dw, sec.dim_up))
+        ei = st.energy
+        occ_u = occupations(sec.ups, ns).astype(float)[:, :norb]
+        occ_d = occupations(sec.dws, ns).astype(float)[:, :norb]
+        dense_eig = dense_eig_cache(st.sector)
+        mv = None if dense_eig is not None else matvec_builder(sec)
+        m = min(cfg.lanc_ngfiter, max(2, sec.dim))
+
+        def hermitian_channel(key, phi):
+            wts, en = _moments_from_phi(mv, phi.reshape(-1), m,
+                                        dense_eig=dense_eig)
+            if len(wts) == 0:
+                return
+            de = en - ei
+            # χ(z) = Σ w [1/(z - dE) - 1/(z + dE)]; at dE=0 the two poles
+            # cancel for z≠0 and give the Curie (static) part — keep both.
+            chi.add(key, np.concatenate([w[ist] * wts, -w[ist] * wts]),
+                    np.concatenate([de, -de]))
+
+        if cfg.chispin_flag:
+            for a in range(norb):
+                phi = _diag_op_apply(v3, 0.5 * occ_u[:, a], -0.5 * occ_d[:, a])
+                hermitian_channel(("spin", a, a), phi)
+            # off-diagonal via (Sz_a + Sz_b) combination
+            for a in range(norb):
+                for b in range(a + 1, norb):
+                    phi = _diag_op_apply(
+                        v3, 0.5 * (occ_u[:, a] + occ_u[:, b]),
+                        -0.5 * (occ_d[:, a] + occ_d[:, b]))
+                    hermitian_channel(("spin_aux", a, b), phi)
+        if cfg.chidens_flag:
+            for a in range(norb):
+                phi = _diag_op_apply(v3, occ_u[:, a], occ_d[:, a])
+                hermitian_channel(("dens", a, a), phi)
+            for a in range(norb):
+                for b in range(a + 1, norb):
+                    phi = _diag_op_apply(v3, occ_u[:, a] + occ_u[:, b],
+                                         occ_d[:, a] + occ_d[:, b])
+                    hermitian_channel(("dens_aux", a, b), phi)
+        if cfg.chipair_flag:
+            # O = c_a↑ c_a↓ : target sector (nup-1, ndw-1)
+            jsec = table.c_sector(st.sector, 0)
+            if jsec is not None:
+                jsec2 = table.c_sector(jsec, 1)
+            else:
+                jsec2 = None
+            if jsec2 is not None:
+                tsec = table.sector(jsec2)
+                isec_mid = table.sector(jsec)
+                de_t = dense_eig_cache(jsec2)
+                mv_t = None if de_t is not None else matvec_builder(tsec)
+                mt = min(cfg.lanc_ngfiter, max(2, tsec.dim))
+                for a in range(norb):
+                    m1 = spin_axis_op(sec.ups, isec_mid.ups, ns, "c", a, 2)
+                    m2 = spin_axis_op(isec_mid.dws, tsec.dws, ns, "c", a, 1)
+                    phi = m2.apply(m1.apply(v3))
+                    wts, en = _moments_from_phi(mv_t, phi.reshape(-1), mt,
+                                                dense_eig=de_t)
+                    if len(wts):
+                        chi.add(("pair", a, a), w[ist] * wts, en - ei)
+                # conjugate (c†c†) channel with -(En-Ei) poles
+            ksec = table.cdg_sector(st.sector, 0)
+            ksec2 = table.cdg_sector(ksec, 1) if ksec is not None else None
+            if ksec2 is not None:
+                tsec = table.sector(ksec2)
+                isec_mid = table.sector(ksec)
+                de_t = dense_eig_cache(ksec2)
+                mv_t = None if de_t is not None else matvec_builder(tsec)
+                mt = min(cfg.lanc_ngfiter, max(2, tsec.dim))
+                for a in range(norb):
+                    m1 = spin_axis_op(sec.ups, isec_mid.ups, ns, "cdg", a, 2)
+                    m2 = spin_axis_op(isec_mid.dws, tsec.dws, ns, "cdg", a, 1)
+                    phi = m2.apply(m1.apply(v3))
+                    wts, en = _moments_from_phi(mv_t, phi.reshape(-1), mt,
+                                                dense_eig=de_t)
+                    if len(wts):
+                        chi.add(("pair", a, a), w[ist] * wts, -(en - ei))
+
+    # reconstruct symmetric off-diagonals: χ_ab = (χ_aux - χ_aa - χ_bb)/2
+    for kind in ("spin", "dens"):
+        for a in range(norb):
+            for b in range(a + 1, norb):
+                key = (f"{kind}_aux", a, b)
+                if key not in chi.channels:
+                    continue
+                wA, pA = chi.packed(key)
+                waa, paa = chi.packed((kind, a, a))
+                wbb, pbb = chi.packed((kind, b, b))
+                wab = np.concatenate([0.5 * wA, -0.5 * waa, -0.5 * wbb])
+                pab = np.concatenate([pA, paa, pbb])
+                chi.add((kind, a, b), wab, pab)
+                chi.add((kind, b, a), wab, pab)
+    return chi

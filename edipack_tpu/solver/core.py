@@ -1,0 +1,214 @@
+"""End-to-end impurity solve (the reference `ed_solve` body, ED_MAIN.f90:164-228):
+bath set -> umatrix -> diagonalization -> Green's functions -> susceptibilities
+-> observables -> energies -> RDM, with all products retained on the result
+object for the `ed_get_*` getters (reference ED_IO)."""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..bath.dmft_bath import DmftBath
+from ..bath.functions import (g0and_bath, invg0_bath, delta_bath, fdelta_bath,
+                              matsubara_grid, real_grid, _block_inv)
+from ..config import EDConfig
+from ..models.normal import NormalSectorOp, build_normal_sector_op
+from ..ops.matvec import KronMatvec
+from ..sectors import Sector, SectorTable
+from ..umatrix import Umatrix
+from .diag import DiagResult, diagonalize
+from .eigenspace import StateList
+from .greens import GFMatrix, build_gf_normal, eval_gf_normal, sigma_normal
+from .observables import Observables, compute_observables_normal
+
+
+@dataclass
+class SolveResult:
+    cfg: EDConfig
+    table: SectorTable
+    diag: DiagResult
+    gf: Optional[GFMatrix]
+    obs: Observables
+    bath: DmftBath
+    hloc: np.ndarray
+    um: Umatrix
+    chi: Optional[GFMatrix] = None
+    rdm: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------------
+    def _zgrid(self, zeta, axis):
+        if zeta is not None:
+            return np.atleast_1d(np.asarray(zeta, complex))
+        return matsubara_grid(self.cfg) if axis.startswith("m") \
+            else real_grid(self.cfg)
+
+    def get_gimp(self, zeta=None, axis="m", typ="n"):
+        z = self._zgrid(zeta, axis)
+        if typ != "n":
+            raise NotImplementedError("anomalous GF arrives with superc mode")
+        return eval_gf_normal(self.cfg, self.gf, z)
+
+    def get_g0imp(self, zeta=None, axis="m", typ="n"):
+        z = self._zgrid(zeta, axis)
+        return g0and_bath(self.cfg, self.bath, self.hloc, z)
+
+    def get_g0and(self, zeta=None, axis="m", typ="n"):
+        return self.get_g0imp(zeta, axis, typ)
+
+    def get_delta(self, zeta=None, axis="m", typ="n"):
+        z = self._zgrid(zeta, axis)
+        if typ == "n":
+            return delta_bath(self.cfg, self.bath, z)
+        return fdelta_bath(self.cfg, self.bath, z)
+
+    def get_sigma(self, zeta=None, axis="m", typ="n"):
+        z = self._zgrid(zeta, axis)
+        g = self.get_gimp(z, axis, typ)
+        ig0 = invg0_bath(self.cfg, self.bath, self.hloc, z)
+        return sigma_normal(self.cfg, g, ig0)
+
+    def get_dimp(self, zeta=None, axis="m"):
+        raise NotImplementedError("phonon GF arrives with the phonon GF pass")
+
+    def get_chi(self, kind="spin", zeta=None, axis="m"):
+        if self.chi is None:
+            raise RuntimeError(f"chi_{kind} was not computed (enable chi{kind}_flag)")
+        z = self._zgrid(zeta, axis)
+        norb = self.cfg.norb
+        out = np.zeros((norb, norb, len(z)), complex)
+        for a in range(norb):
+            for b in range(norb):
+                out[a, b] = self.chi.eval((kind, a, b), z)
+        return out
+
+    def get_rdm(self, norbs=None):
+        if self.rdm is None:
+            raise RuntimeError("rdm was not computed (enable rdm_flag)")
+        return self.rdm
+
+    # -- static getters -------------------------------------------------
+    @property
+    def dens(self):
+        return self.obs.dens
+
+    @property
+    def docc(self):
+        return self.obs.docc
+
+    @property
+    def mag(self):
+        return self.obs.mag
+
+    @property
+    def energies(self):
+        return self.obs.energies
+
+    @property
+    def doubles(self):
+        return self.obs.doubles
+
+    @property
+    def imp_info(self):
+        return self.obs.imp_info
+
+    @property
+    def single_particle_dm(self):
+        return self.obs.sp_dm
+
+    @property
+    def phisc(self):
+        return getattr(self.obs, "phisc", np.zeros(self.cfg.norb))
+
+    @property
+    def argphi(self):
+        return getattr(self.obs, "argphi", np.zeros(self.cfg.norb))
+
+    @property
+    def exct(self):
+        return getattr(self.obs, "exct", np.zeros((4, self.cfg.norb, self.cfg.norb)))
+
+    @property
+    def evals(self):
+        """All computed sector eigenvalues, ascending (reference ed_get_evals)."""
+        parts = [v for v in self.diag.evals_by_sector.values()]
+        return np.sort(np.concatenate(parts)) if parts else np.zeros(0)
+
+    @property
+    def neigen_sector(self):
+        return self.diag.neigen_sector
+
+    @property
+    def e0(self):
+        return self.diag.e0
+
+
+# ---------------------------------------------------------------------------
+
+
+def solve_impurity(cfg: EDConfig, hloc: np.ndarray, um: Umatrix,
+                   bath: DmftBath,
+                   neigen_override: Optional[np.ndarray] = None) -> SolveResult:
+    cfg.validate()
+    if cfg.ed_mode != "normal":
+        from .core_joint import solve_impurity_joint
+        return solve_impurity_joint(cfg, hloc, um, bath,
+                                    neigen_override=neigen_override)
+
+    table = SectorTable(cfg)
+    dtype = jnp.float64 if cfg.ed_precision == "float64" else jnp.float32
+
+    op_cache: Dict[int, NormalSectorOp] = {}
+    mv_cache: Dict[int, KronMatvec] = {}
+    dense_cache: Dict[int, Tuple] = {}
+
+    def get_op(sec: Sector) -> NormalSectorOp:
+        if sec.index not in op_cache:
+            op_cache[sec.index] = build_normal_sector_op(cfg, sec, hloc, um, bath)
+        return op_cache[sec.index]
+
+    def matvec_builder(sec: Sector) -> KronMatvec:
+        if sec.index not in mv_cache:
+            mv_cache[sec.index] = KronMatvec(get_op(sec), dtype=dtype)
+        return mv_cache[sec.index]
+
+    def dense_builder(sec: Sector) -> np.ndarray:
+        return get_op(sec).to_dense()
+
+    def dense_eig_cache(isec: int):
+        """Full eigh of small sectors, cached, for exact GF moments."""
+        sec = table.sector(isec)
+        if sec.dim > cfg.lanc_dim_threshold:
+            return None
+        if isec not in dense_cache:
+            h = dense_builder(sec)
+            evals, evecs = np.linalg.eigh(h)
+            dense_cache[isec] = (evals, jnp.asarray(evecs))
+        return dense_cache[isec]
+
+    sector_mask = None
+    diag = diagonalize(cfg, table, matvec_builder, dense_builder,
+                       neigen_override=neigen_override,
+                       sector_mask=sector_mask)
+
+    gf = build_gf_normal(cfg, table, diag.state_list, matvec_builder,
+                         dense_eig_cache, all_g=cfg.ed_all_g)
+
+    obs = compute_observables_normal(cfg, table, diag.state_list, hloc, um,
+                                     op_cache)
+
+    chi = None
+    if cfg.chispin_flag or cfg.chidens_flag or cfg.chipair_flag or cfg.chiexct_flag:
+        from .chi import build_chi_normal
+        chi = build_chi_normal(cfg, table, diag.state_list, matvec_builder,
+                               dense_eig_cache)
+
+    rdm = None
+    if cfg.rdm_flag:
+        from .rdm import impurity_rdm_normal
+        rdm = impurity_rdm_normal(cfg, table, diag.state_list)
+
+    return SolveResult(cfg=cfg, table=table, diag=diag, gf=gf, obs=obs,
+                       bath=bath.copy(), hloc=np.asarray(hloc), um=um,
+                       chi=chi, rdm=rdm)

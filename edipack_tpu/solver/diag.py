@@ -1,0 +1,160 @@
+"""Sector sweep / spectrum determination.
+
+Parity target: reference ED_DIAG.f90 + ED_DIAG_NORMAL.f90 (:76-296 sweep,
+solver choice :119-252, post-diag trimming and adaptive neigen feedback
+:382-519). TPU upgrades over the reference:
+
+* small sectors are *batched*: all dims ≤ lanc_dim_threshold are padded into
+  shape buckets and diagonalized with one batched `jnp.linalg.eigh` per
+  bucket (the reference LAPACK path is one sector at a time on the master
+  rank);
+* large sectors run restarted deflated Lanczos with the jitted MXU matvec.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EDConfig
+from ..sectors import Sector, SectorTable
+from ..ops.lanczos import batched_eigh, eigsh_lowest
+from .eigenspace import EigenState, StateList
+
+
+@dataclass
+class DiagResult:
+    state_list: StateList
+    evals_by_sector: Dict[int, np.ndarray]
+    neigen_sector: np.ndarray
+    zeta: float
+    e0: float
+
+
+def _pad_pow2_bucket(dim: int) -> int:
+    """Bucket size: next power of two (bounded recompilation, good MXU tiles)."""
+    b = 8
+    while b < dim:
+        b *= 2
+    return b
+
+
+def diagonalize(cfg: EDConfig, table: SectorTable,
+                matvec_builder: Callable[[Sector], object],
+                dense_builder: Callable[[Sector], np.ndarray],
+                neigen_override: Optional[np.ndarray] = None,
+                sector_mask: Optional[np.ndarray] = None) -> DiagResult:
+    """Sweep all sectors, find low eigenpairs, build the trimmed state list.
+
+    ``matvec_builder(sec)``: device matvec callable with .dim/.dtype
+    ``dense_builder(sec)``: dense sector H (used when dim <= lanc_dim_threshold)
+    """
+    nsec = len(table)
+    neigen = np.full(nsec, cfg.lanc_nstates_sector, dtype=int)
+    if neigen_override is not None:
+        neigen[:] = np.asarray(neigen_override, int)
+    twin_mask = table.twin_mask()
+    if sector_mask is not None:
+        twin_mask = twin_mask & np.asarray(sector_mask, bool)
+
+    sl = StateList(beta=cfg.beta)
+    evals_by_sector: Dict[int, np.ndarray] = {}
+
+    # ---- partition sectors by path -----------------------------------
+    dense_secs: List[int] = []
+    lanc_secs: List[int] = []
+    for i in range(nsec):
+        if not twin_mask[i]:
+            continue
+        dim = table.get_dim(i)
+        if dim == 0:
+            continue
+        if dim <= cfg.lanc_dim_threshold:
+            dense_secs.append(i)
+        else:
+            lanc_secs.append(i)
+
+    # ---- batched dense path ------------------------------------------
+    buckets: Dict[int, List[int]] = {}
+    for i in dense_secs:
+        b = _pad_pow2_bucket(table.get_dim(i))
+        buckets.setdefault(b, []).append(i)
+    for bsize, secs in sorted(buckets.items()):
+        # chunk very large batches to bound memory
+        max_batch = max(1, (1 << 26) // (bsize * bsize))
+        for lo in range(0, len(secs), max_batch):
+            chunk = secs[lo:lo + max_batch]
+            mats = np.zeros((len(chunk), bsize, bsize))
+            dims = []
+            cplx = False
+            for bi, i in enumerate(chunk):
+                h = dense_builder(table.sector(i))
+                d = h.shape[0]
+                dims.append(d)
+                if np.iscomplexobj(h):
+                    cplx = True
+                mats = mats.astype(np.complex128) if cplx and not np.iscomplexobj(mats) else mats
+                mats[bi, :d, :d] = h
+                # push padding levels far above the physical spectrum
+                pad = np.abs(h).sum() + 1.0
+                mats[bi, d:, d:] = np.eye(bsize - d) * pad if bsize > d else 0.0
+            evals, evecs = batched_eigh(jnp.asarray(mats))
+            evals = np.asarray(evals)
+            for bi, i in enumerate(chunk):
+                d = dims[bi]
+                ev = evals[bi, :d]
+                evals_by_sector[i] = ev
+                # keep at least the sector's full near-degenerate ground
+                # multiplet so the T=0 trim can't miss degeneracies
+                n_deg = int(np.sum(ev - ev[0] <= cfg.gs_threshold))
+                keep = min(d, max(neigen[i], n_deg, 1))
+                for j in range(keep):
+                    vec = evecs[bi, :d, j]
+                    sl.add(EigenState(float(ev[j]), i, vec))
+
+    # ---- Lanczos path -------------------------------------------------
+    for i in lanc_secs:
+        sec = table.sector(i)
+        mv = matvec_builder(sec)
+        nev = min(max(neigen[i], 1), mv.dim - 1) or 1
+        m = min(mv.dim, max(cfg.lanc_ncv_factor * nev + cfg.lanc_ncv_add,
+                            4 * nev + 24, 48))
+        vals, vecs = eigsh_lowest(mv, mv.dim, nev, dtype=mv.dtype, m=m,
+                                  tol=max(cfg.lanc_tolerance, 1e-14),
+                                  max_restarts=max(4, cfg.lanc_niter // m))
+        evals_by_sector[i] = vals
+        for j in range(len(vals)):
+            sl.add(EigenState(float(vals[j]), i, vecs[j]))
+
+    if len(sl) == 0:
+        raise RuntimeError("no eigenstates found (all sectors empty?)")
+
+    # ---- twin reconstruction (bookkeeping only: energies duplicated) --
+    if cfg.ed_twin:
+        for st in list(sl.states):
+            j = table.twin_of(st.sector)
+            if j != st.sector:
+                sl.add(EigenState(st.energy, j, st.vector, twin_of=st.sector))
+                if st.sector in evals_by_sector:
+                    evals_by_sector[j] = evals_by_sector[st.sector]
+
+    # ---- trim + adaptive feedback ------------------------------------
+    trimmed = sl.trim(cfg.ed_finite_temp, cfg.cutoff, cfg.gs_threshold,
+                      cfg.lanc_nstates_total)
+    counts = np.zeros(nsec, dtype=int)
+    for st in trimmed:
+        counts[st.sector] += 1
+    new_neigen = neigen.copy()
+    for i in range(nsec):
+        if counts[i] >= neigen[i] and counts[i] > 0:
+            new_neigen[i] = min(neigen[i] + cfg.lanc_nstates_step,
+                                max(table.get_dim(i), 1))
+        elif counts[i] > 0:
+            new_neigen[i] = max(counts[i] + 1, 1)
+
+    e0 = trimmed.e0
+    return DiagResult(trimmed, evals_by_sector, new_neigen,
+                      trimmed.partition_function(), e0)

@@ -1,0 +1,203 @@
+"""Dynamical Green's functions via Krylov continued fractions.
+
+Parity target: reference ED_GREENS_FUNCTIONS.f90 + ED_GF_NORMAL.f90
+(build_impG_normal :68+, add_to_lanczos_gf_normal :363-427, off-diagonal
+reconstruction :540-563, evaluation get_impG :496-607, Dyson get_Sigma
+:698-739) and the GFmatrix store (ED_GFMATRIX.f90:26-55).
+
+For every retained eigenstate and excitation operator O the engine computes
+|φ> = O|ψ>, tridiagonalizes H in the target sector (on-device Lanczos, no
+reorth — reference lanc_ngfiter moments) or, for small target sectors, uses
+the exact dense eigenbasis, and accumulates Källén-Lehmann weights/poles.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EDConfig
+from ..sectors import Sector, SectorTable
+from ..ops.lanczos import lanczos_tridiag
+from ..ops.sector_ops import spin_axis_op
+from .eigenspace import StateList
+
+
+@dataclass
+class GFMatrix:
+    """Flat Källén-Lehmann store: channel key -> (weights, poles) with the
+    state Boltzmann weights folded in. G_key(z) = Σ_n w_n / (z - p_n)."""
+    channels: Dict[Tuple, List[Tuple[np.ndarray, np.ndarray]]] = field(
+        default_factory=dict)
+
+    def add(self, key: Tuple, weights: np.ndarray, poles: np.ndarray) -> None:
+        self.channels.setdefault(key, []).append(
+            (np.asarray(weights, dtype=complex), np.asarray(poles, float)))
+
+    def packed(self, key: Tuple) -> Tuple[np.ndarray, np.ndarray]:
+        if key not in self.channels:
+            return np.zeros(0, complex), np.zeros(0)
+        ws = np.concatenate([w for w, _ in self.channels[key]])
+        ps = np.concatenate([p for _, p in self.channels[key]])
+        return ws, ps
+
+    def eval(self, key: Tuple, z: np.ndarray) -> np.ndarray:
+        w, p = self.packed(key)
+        z = np.atleast_1d(np.asarray(z, complex))
+        if len(w) == 0:
+            return np.zeros(len(z), complex)
+        return (w[None, :] / (z[:, None] - p[None, :])).sum(axis=1)
+
+    # -- persistence (reference write/read_GFmatrix, ED_GFMATRIX.f90:78-107)
+    def save(self, path: str) -> None:
+        payload = {}
+        for key, lst in self.channels.items():
+            skey = repr(key)
+            payload[skey + "|w"] = np.concatenate([w for w, _ in lst])
+            payload[skey + "|p"] = np.concatenate([p for _, p in lst])
+        np.savez(path, **payload)
+
+    @classmethod
+    def load(cls, path: str) -> "GFMatrix":
+        from ast import literal_eval
+        data = np.load(path)
+        gf = cls()
+        for name in data.files:
+            if name.endswith("|w"):
+                key = literal_eval(name[:-2])
+                gf.add(key, data[name], data[name[:-2] + "|p"])
+        return gf
+
+
+# ---------------------------------------------------------------------------
+
+
+def _moments_from_phi(matvec, phi, m: int, dense_eig=None):
+    """Excitation moments: returns (weights, excitation energies E_n).
+
+    dense_eig = (evals, evecs) exact eigenbasis of the target sector when
+    available (small sectors); otherwise on-device Lanczos tridiag + host
+    eigh of the small tridiagonal matrix."""
+    if dense_eig is not None:
+        evals, evecs = dense_eig
+        amps = np.asarray(jnp.conj(evecs.T) @ phi) if hasattr(evecs, "shape") \
+            else evecs.T.conj() @ np.asarray(phi)
+        w = np.abs(amps) ** 2
+        keep = w > 1e-16 * max(w.max(), 1e-300)
+        return w[keep], np.asarray(evals)[keep]
+    m = max(2, m)
+    alphas, betas, norm0 = lanczos_tridiag(matvec, phi, m)
+    a = np.asarray(alphas)
+    b = np.asarray(betas)
+    n0 = float(norm0)
+    if n0 < 1e-15:
+        return np.zeros(0), np.zeros(0)
+    # truncate at breakdown
+    k = m
+    for i in range(m - 1):
+        if b[i] < 1e-13 * max(1.0, np.abs(a).max()):
+            k = i + 1
+            break
+    t = np.diag(a[:k])
+    if k > 1:
+        t += np.diag(b[:k - 1], 1) + np.diag(b[:k - 1], -1)
+    tv, tu = np.linalg.eigh(t)
+    w = (n0 ** 2) * np.abs(tu[0, :]) ** 2
+    return w, tv
+
+
+def build_gf_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
+                    matvec_builder: Callable[[Sector], object],
+                    dense_eig_cache: Callable[[int], Optional[Tuple]],
+                    all_g: bool = True) -> GFMatrix:
+    """Normal-mode impurity GF. Channel keys:
+    ('g', ispin, a, b) for G_ab^s; weights folded with state weights.
+    Off-diagonal components are produced directly as the symmetrized
+    combination (reference :540-563)."""
+    gf = GFMatrix()
+    weights = sl.boltzmann_weights()
+    norb, nspin = cfg.norb, cfg.nspin
+    offdiag = cfg.ed_solve_offdiag_gf or cfg.bath_type != "normal"
+
+    # aux store for off-diagonal reconstruction
+    aux = GFMatrix()
+
+    for istate, st in enumerate(sl):
+        wstate = weights[istate]
+        isec = st.sector
+        sec = table.sector(isec)
+        v3 = jnp.reshape(st.vector, (sec.dim_ph, sec.dim_dw, sec.dim_up))
+        ei = st.energy
+        for ispin in range(nspin):
+            axis = 2 if ispin == 0 else 1
+            basis_src = sec.ups if ispin == 0 else sec.dws
+            # --- particle (c†) and hole (c) target sectors
+            for sgn_kind, kind in ((+1, "cdg"), (-1, "c")):
+                jsec = (table.cdg_sector(isec, ispin) if kind == "cdg"
+                        else table.c_sector(isec, ispin))
+                if jsec is None:
+                    continue
+                tsec = table.sector(jsec)
+                basis_tgt = tsec.ups if ispin == 0 else tsec.dws
+                dim_t = tsec.dim
+                dense_eig = dense_eig_cache(jsec)
+                mv = None if dense_eig is not None else matvec_builder(tsec)
+                m = min(cfg.lanc_ngfiter, max(2, dim_t))
+
+                phis = {}
+                for a in range(norb):
+                    amap = spin_axis_op(basis_src, basis_tgt, sec.ns, kind, a,
+                                        axis)
+                    phis[a] = amap.apply(v3).reshape(-1)
+                combos = [(a, a) for a in range(norb)]
+                if offdiag:
+                    combos += [(a, b) for a in range(norb)
+                               for b in range(a + 1, norb)]
+                for (a, b) in combos:
+                    phi = phis[a] if a == b else (phis[a] + phis[b])
+                    w, en = _moments_from_phi(
+                        mv if mv is not None else None, phi, m,
+                        dense_eig=dense_eig)
+                    if len(w) == 0:
+                        continue
+                    poles = sgn_kind * (en - ei)
+                    key = ("g", ispin, a, b) if a == b else ("aux", ispin, a, b)
+                    (gf if a == b else aux).add(key, wstate * w, poles)
+
+    # off-diagonal reconstruction: G_ab = (aux - G_aa - G_bb)/2
+    if offdiag:
+        for ispin in range(nspin):
+            for a in range(norb):
+                for b in range(a + 1, norb):
+                    key = ("aux", ispin, a, b)
+                    if key not in aux.channels:
+                        continue
+                    wA, pA = aux.packed(key)
+                    waa, paa = gf.packed(("g", ispin, a, a))
+                    wbb, pbb = gf.packed(("g", ispin, b, b))
+                    w = np.concatenate([0.5 * wA, -0.5 * waa, -0.5 * wbb])
+                    p = np.concatenate([pA, paa, pbb])
+                    gf.add(("g", ispin, a, b), w, p)
+                    gf.add(("g", ispin, b, a), w, p)
+    return gf
+
+
+def eval_gf_normal(cfg: EDConfig, gf: GFMatrix, z) -> np.ndarray:
+    """G(z): (Nspin,Nspin,Norb,Norb,Lz) (spin-diagonal in normal mode)."""
+    z = np.atleast_1d(np.asarray(z, complex))
+    ns, no = cfg.nspin, cfg.norb
+    out = np.zeros((ns, ns, no, no, len(z)), complex)
+    for s in range(ns):
+        for a in range(no):
+            for b in range(no):
+                out[s, s, a, b] = gf.eval(("g", s, a, b), z)
+    return out
+
+
+def sigma_normal(cfg: EDConfig, gf_eval: np.ndarray, invg0: np.ndarray) -> np.ndarray:
+    """Σ = G0⁻¹ - G⁻¹ (reference get_Sigma_normal :698-739)."""
+    from ..bath.functions import _block_inv
+    ginv = _block_inv(gf_eval)
+    return invg0 - ginv

@@ -1,0 +1,58 @@
+"""Impurity reduced density matrix (normal mode).
+
+Parity target: reference ED_RDM.f90 + ED_RDM_NORMAL.f90 (:90-213), which
+factorizes each sector state into impurity⊗bath via the sparse_map
+intersections. Here: impurity levels are the low ``Norb`` bits of each
+spin's bitset, so the state tensor is scattered into a dense
+(imp_up, bath_up, imp_dw, bath_dw) layout and the bath is traced with one
+einsum. Fermionic cross signs cancel because the RDM is particle-number
+block-diagonal per spin (even operator pairing), so the per-spin convention
+is exact.
+
+RDM basis index: I = imp_up + 2^Norb * imp_dw (up bits fastest), matching the
+reference's [4^Norb x 4^Norb] layout.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from ..config import EDConfig
+from ..sectors import SectorTable
+from .eigenspace import StateList
+
+
+def _split_scatter(basis: np.ndarray, norb: int):
+    """Return (imp_conf, bath_rank, n_bath_configs) for each basis state."""
+    imp_mask = (1 << norb) - 1
+    imp = (basis & imp_mask).astype(np.int64)
+    bath = (basis >> norb).astype(np.int64)
+    uniq, rank = np.unique(bath, return_inverse=True)
+    return imp, rank, len(uniq)
+
+
+def impurity_rdm_normal(cfg: EDConfig, table: SectorTable,
+                        sl: StateList) -> np.ndarray:
+    norb = cfg.norb
+    nimp = 1 << norb
+    w = sl.boltzmann_weights()
+    rho = np.zeros((nimp * nimp, nimp * nimp))
+    for ist, st in enumerate(sl):
+        sec = table.sector(st.sector)
+        v3 = np.asarray(st.vector).reshape(sec.dim_ph, sec.dim_dw, sec.dim_up)
+        iu, bu_rank, nbu = _split_scatter(sec.ups, norb)
+        idn, bd_rank, nbd = _split_scatter(sec.dws, norb)
+        for p in range(sec.dim_ph):
+            wdense = np.zeros((nimp, nbu, nimp, nbd))
+            # scatter amplitudes: V[p, d, u] -> W[iu(u), bu(u), id(d), bd(d)]
+            wdense[iu[:, None], bu_rank[:, None], idn[None, :], bd_rank[None, :]] = \
+                v3[p].T
+            rho_st = np.einsum("axby,cxdy->abcd", wdense, wdense)
+            rho += w[ist] * _pack(rho_st, nimp)  # rho_st[iu, id, ju, jd]
+    return rho
+
+
+def _pack(rho4: np.ndarray, nimp: int) -> np.ndarray:
+    """(iu, id, ju, jd) -> [iu + nimp*id, ju + nimp*jd]."""
+    return rho4.transpose(1, 0, 3, 2).reshape(nimp * nimp, nimp * nimp)
