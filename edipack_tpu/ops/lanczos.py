@@ -116,6 +116,13 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
     Host-driven outer loop (a handful of restarts), jitted inner sweeps.
     Returns (evals[nev], evecs[nev, dim]) sorted ascending."""
     nev = min(nev, dim)
+    if dim <= 128:
+        # tiny spaces: materialize H by matvec columns and eigh directly —
+        # avoids per-shape jit churn and Lanczos breakdown handling
+        eye = jnp.eye(dim, dtype=dtype)
+        h = np.stack([np.asarray(matvec(eye[i])) for i in range(dim)], axis=1)
+        vals, vecs = np.linalg.eigh(h)
+        return vals[:nev], jnp.asarray(vecs[:, :nev].T)
     if m is None:
         m = min(dim, max(4 * nev + 24, 48))
     m = min(m, dim)

@@ -87,6 +87,17 @@ def _moments_from_phi(matvec, phi, m: int, dense_eig=None):
         w = np.abs(amps) ** 2
         keep = w > 1e-16 * max(w.max(), 1e-300)
         return w[keep], np.asarray(evals)[keep]
+    dim = phi.shape[0]
+    if dim <= 128:
+        # tiny target sector: exact moments via materialized H (avoids
+        # per-shape jit churn of the scan-based tridiag)
+        eye = jnp.eye(dim, dtype=phi.dtype)
+        h = np.stack([np.asarray(matvec(eye[i])) for i in range(dim)], axis=1)
+        evals, evecs = np.linalg.eigh(h)
+        amps = evecs.conj().T @ np.asarray(phi)
+        w = np.abs(amps) ** 2
+        keep = w > 1e-16 * max(w.max(), 1e-300)
+        return w[keep], evals[keep]
     m = max(2, m)
     alphas, betas, norm0 = lanczos_tridiag(matvec, phi, m)
     a = np.asarray(alphas)
