@@ -168,10 +168,26 @@ def chi2_fitgf(cfg: EDConfig, func: np.ndarray, bath_array: np.ndarray,
 
     x0 = np.asarray(p_full)[np.asarray(fit_idx)]
     method = "CG" if cfg.cg_method == 0 else "L-BFGS-B"
-    res = scipy.optimize.minimize(
-        fun, x0, jac=True, method=method,
-        options={"maxiter": cfg.cg_niter, "gtol": cfg.cg_ftol * 1e-2}
-        if method == "CG" else {"maxiter": cfg.cg_niter, "ftol": cfg.cg_ftol})
-    out = np.asarray(p_full)
-    out[np.asarray(fit_idx)] = res.x
+    opts = ({"maxiter": cfg.cg_niter, "gtol": cfg.cg_ftol * 1e-2}
+            if method == "CG" else {"maxiter": cfg.cg_niter, "ftol": cfg.cg_ftol})
+
+    # multi-start: the chi^2 landscape has spurious basins (a bath pole
+    # escaping to large |e| with v->0); a few perturbed restarts recover the
+    # global basin. The first start is always the caller's bath (warm start
+    # across DMFT iterations).
+    rng = np.random.default_rng(12345)
+    starts = [x0]
+    for _ in range(4):
+        starts.append(x0 + rng.normal(scale=0.3, size=x0.shape)
+                      * np.maximum(1.0, np.abs(x0)))
+    best = None
+    for xs in starts:
+        res = scipy.optimize.minimize(fun, xs, jac=True, method=method,
+                                      options=opts)
+        if best is None or res.fun < best.fun:
+            best = res
+        if best.fun < 1e-12:
+            break
+    out = np.array(p_full)
+    out[np.asarray(fit_idx)] = best.x
     return out

@@ -10,3 +10,14 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(__file__))
+
+# persistent XLA compile cache: the suite re-traces many small sector shapes;
+# caching across runs cuts wall-clock dramatically on CPU
+import jax  # noqa: E402
+
+# this container's sitecustomize force-registers the axon TPU backend and
+# overrides the JAX_PLATFORMS env var; the config update below wins, keeping
+# the test suite on the virtual 8-device CPU mesh
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/edipack_tpu_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
