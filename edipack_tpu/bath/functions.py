@@ -168,6 +168,17 @@ def _delta_replica_superc(cfg: EDConfig, bath: DmftBath, z,
 # ---------------------------------------------------------------------------
 
 
+def invf0_bath(cfg: EDConfig, bath: DmftBath, hloc_anomalous, z) -> np.ndarray:
+    """F0⁻¹(z) = -Hloc_anomalous - FΔ(z) (reference invf0_normal.f90)."""
+    z = _zgrid(z)
+    fd = fdelta_bath(cfg, bath, z)
+    out = -fd
+    if hloc_anomalous is not None:
+        han = np.asarray(hloc_anomalous, complex)
+        out = out - han[None, None][..., None] if han.ndim == 2 else out - han[..., None]
+    return out
+
+
 def invg0_bath(cfg: EDConfig, bath: DmftBath, hloc: np.ndarray, z) -> np.ndarray:
     """G0⁻¹(z)_ab^{ss'} = (z + μ)δ - Hloc - Δ(z) (normal part)."""
     z = _zgrid(z)

@@ -105,6 +105,47 @@ class EllMatvec:
         return jnp.sum(self.vals * gathered, axis=1)
 
 
+class JointMatvec:
+    """superc/nonsu2 sector matvec: padded-ELL electronic H batched over the
+    phonon axis, plus phonon and electron-phonon Kronecker terms.
+
+    v is flat (dim_ph * dim_el); internally (dim_ph, dim_el)."""
+
+    def __init__(self, op, dtype=jnp.complex128):
+        self.dim_el = op.dim_el
+        self.dim_ph = op.sector.dim_ph
+        self.dim = self.dim_el * self.dim_ph
+        self.dtype = dtype
+        cols, vals = op.ell()
+        self.cols = jax.device_put(jnp.asarray(cols, jnp.int32))
+        self.vals = jax.device_put(jnp.asarray(vals, dtype))
+        self.has_ph = op.ph_mat is not None
+        if self.has_ph:
+            self.ph_mat = jax.device_put(jnp.asarray(op.ph_mat, dtype))
+            self.ph_x = jax.device_put(jnp.asarray(op.ph_x, dtype))
+            self.eph_diag = jax.device_put(jnp.asarray(op.eph_diag, dtype))
+            if op.eph_rows is not None and len(op.eph_rows):
+                import numpy as _np
+                e = _np.zeros((self.dim_el, self.dim_el), dtype=complex)
+                _np.add.at(e, (op.eph_rows, op.eph_cols), op.eph_vals)
+                self.eph_dense = jax.device_put(jnp.asarray(e, dtype))
+            else:
+                self.eph_dense = None
+        self.nnz = op.nnz_estimate()
+
+    def __call__(self, v):
+        v2 = v.reshape(self.dim_ph, self.dim_el)
+        gathered = jnp.take(v2, self.cols, axis=1)          # (dp, de, K)
+        out = jnp.sum(self.vals[None, :, :] * gathered, axis=-1)
+        if self.has_ph:
+            out = out + self.ph_mat @ v2
+            ev = self.eph_diag[None, :] * v2
+            if self.eph_dense is not None:
+                ev = ev + v2 @ self.eph_dense.T
+            out = out + self.ph_x @ ev
+        return out.reshape(-1)
+
+
 class DenseMatvec:
     """Explicit dense H for small sectors and tests."""
 

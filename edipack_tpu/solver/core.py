@@ -36,6 +36,7 @@ class SolveResult:
     um: Umatrix
     chi: Optional[GFMatrix] = None
     rdm: Optional[np.ndarray] = None
+    hloc_anomalous: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------
     def _zgrid(self, zeta, axis):
@@ -46,9 +47,19 @@ class SolveResult:
 
     def get_gimp(self, zeta=None, axis="m", typ="n"):
         z = self._zgrid(zeta, axis)
+        mode = self.cfg.ed_mode
+        if mode == "normal":
+            if typ != "n":
+                raise ValueError("anomalous GF only exists in superc mode")
+            return eval_gf_normal(self.cfg, self.gf, z)
+        if mode == "superc":
+            from .core_joint import eval_gf_superc
+            g, f, _ = eval_gf_superc(self.cfg, self.gf, z)
+            return g if typ == "n" else f
+        from .core_joint import eval_gf_nonsu2
         if typ != "n":
-            raise NotImplementedError("anomalous GF arrives with superc mode")
-        return eval_gf_normal(self.cfg, self.gf, z)
+            raise ValueError("anomalous GF only exists in superc mode")
+        return eval_gf_nonsu2(self.cfg, self.gf, z)
 
     def get_g0imp(self, zeta=None, axis="m", typ="n"):
         z = self._zgrid(zeta, axis)
@@ -65,9 +76,20 @@ class SolveResult:
 
     def get_sigma(self, zeta=None, axis="m", typ="n"):
         z = self._zgrid(zeta, axis)
-        g = self.get_gimp(z, axis, typ)
         ig0 = invg0_bath(self.cfg, self.bath, self.hloc, z)
+        if self.cfg.ed_mode == "superc":
+            from ..bath.functions import invf0_bath
+            from .core_joint import eval_gf_superc, sigma_superc
+            g, f, _ = eval_gf_superc(self.cfg, self.gf, z)
+            if0 = invf0_bath(self.cfg, self.bath, self.hloc_anomalous, z)
+            sigma, self_ = sigma_superc(self.cfg, g, f, ig0, if0, axis=axis[:1])
+            return sigma if typ == "n" else self_
+        g = self.get_gimp(z, axis, "n")
         return sigma_normal(self.cfg, g, ig0)
+
+    def get_self(self, zeta=None, axis="m"):
+        """Anomalous self-energy (superc; reference get_Self_superc)."""
+        return self.get_sigma(zeta, axis, typ="a")
 
     def get_dimp(self, zeta=None, axis="m"):
         raise NotImplementedError("phonon GF arrives with the phonon GF pass")

@@ -1,9 +1,405 @@
-"""superc / nonsu2 joint-sector solve (placeholder for the build-out in this
-round; filled by the superc milestone)."""
+"""superc / nonsu2 end-to-end solve on joint sector bases.
+
+Parity targets: reference ED_SUPERC/ (ED_DIAG_SUPERC, ED_GF_SUPERC
+channels/reconstruction :130-361,640-780, get_Sigma_superc :938-1018,
+ED_OBSERVABLES_SUPERC op :200-250) and ED_NONSU2/ equivalents.
+
+GF channel bookkeeping (GFMatrix keys):
+  superc: ('g',a,a) up-diag, ('barg',a) dw-diag (Nambu 22), ('gaux',a,b)
+          (c†a+c†b)/(c†a+ic†b) combos, ('faux',a,b) (c†a↑+cb↓) combos;
+          reconstruction G_ab = (aux - (1-i)(Gaa+Gbb))/2,
+          F_ab = (faux - (1-i)(Gaa + barG_bb))/2 (reference :750-770).
+  nonsu2: ('g',(s,a),(s,a)) diag, ('gaux',(s1,a),(s2,b)) combos with the
+          same polarization identity.
+"""
 from __future__ import annotations
 
+from typing import Dict, Optional, Tuple
 
-def solve_impurity_joint(cfg, hloc, um, bath, neigen_override=None):
-    raise NotImplementedError(
-        f"ed_mode={cfg.ed_mode} joint-sector solver lands with the superc/"
-        "nonsu2 milestone")
+import jax.numpy as jnp
+import numpy as np
+
+from ..bath.dmft_bath import DmftBath
+from ..bath.functions import (delta_bath, fdelta_bath, invg0_bath,
+                              matsubara_grid, real_grid, _block_inv)
+from ..config import EDConfig
+from ..fock import occupations
+from ..models.joint import JointSectorOp, JointTermAccumulator, build_joint_sector_op
+from ..ops.matvec import DenseMatvec, JointMatvec
+from ..ops.sector_ops import joint_op
+from ..sectors import Sector, SectorTable
+from ..umatrix import SPIN_UP, SPIN_DW, Umatrix
+from .diag import diagonalize
+from .eigenspace import StateList
+from .greens import GFMatrix, _moments_from_phi
+from .observables import Observables
+
+
+def _apply_joint(v2, m):
+    """Apply a JointOpMap along the electronic axis of (dim_ph, dim_el)."""
+    src = jnp.asarray(np.where(m.src < 0, 0, m.src), jnp.int32)
+    sign = jnp.asarray(np.where(m.src < 0, 0.0, m.sign), v2.dtype)
+    return jnp.take(v2, src, axis=1) * sign[None, :]
+
+
+def _lincomb_phi(v2, maps, coeffs):
+    out = None
+    for m, c in zip(maps, coeffs):
+        t = _apply_joint(v2, m) * c
+        out = t if out is None else out + t
+    return out
+
+
+class _GfHarvester:
+    """Shared moment machinery for the joint-mode GF passes."""
+
+    def __init__(self, cfg, table, matvec_builder, dense_eig_cache):
+        self.cfg = cfg
+        self.table = table
+        self.matvec_builder = matvec_builder
+        self.dense_eig_cache = dense_eig_cache
+
+    def moments(self, jsec: int, phi):
+        tsec = self.table.sector(jsec)
+        dense_eig = self.dense_eig_cache(jsec)
+        mv = None if dense_eig is not None else self.matvec_builder(tsec)
+        m = min(self.cfg.lanc_ngfiter, max(2, tsec.dim))
+        return _moments_from_phi(mv, phi.reshape(-1), m, dense_eig=dense_eig)
+
+
+def build_gf_superc(cfg: EDConfig, table: SectorTable, sl: StateList,
+                    matvec_builder, dense_eig_cache) -> GFMatrix:
+    gf = GFMatrix()
+    w = sl.boltzmann_weights()
+    norb = cfg.norb
+    ns = table.dims.ns
+    H = _GfHarvester(cfg, table, matvec_builder, dense_eig_cache)
+    offdiag = cfg.bath_type != "normal" or cfg.ed_solve_offdiag_gf
+
+    for ist, st in enumerate(sl):
+        sec = table.sector(st.sector)
+        v2 = jnp.reshape(st.vector, (sec.dim_ph, sec.dim_el))
+        ei = st.energy
+
+        def channel(key, jsec, maps, coeffs, prefactor, sgn):
+            if jsec is None:
+                return
+            tsec = table.sector(jsec)
+            ms = [joint_op(sec.states, tsec.states, ns, kind, lvl, spin)
+                  for (kind, lvl, spin) in maps]
+            phi = _lincomb_phi(v2, ms, coeffs)
+            wts, en = H.moments(jsec, phi)
+            if len(wts):
+                gf.add(key, w[ist] * prefactor * wts, sgn * (en - ei))
+
+        up = SPIN_UP
+        dw = SPIN_DW
+        for a in range(norb):
+            jp = table.cdg_sector(st.sector, up)   # sz+1
+            jm = table.c_sector(st.sector, up)     # sz-1
+            channel(("g", a, a), jp, [("cdg", a, up)], [1.0], 1.0, +1)
+            channel(("g", a, a), jm, [("c", a, up)], [1.0], 1.0, -1)
+            # barG: dw channels (reference Gdiag ichan=2)
+            jbp = table.c_sector(st.sector, dw)    # removing dw: sz+1
+            jbm = table.cdg_sector(st.sector, dw)  # adding dw: sz-1
+            channel(("barg", a), jbp, [("c", a, dw)], [1.0], 1.0, +1)
+            channel(("barg", a), jbm, [("cdg", a, dw)], [1.0], 1.0, -1)
+        if offdiag:
+            for a in range(norb):
+                for b in range(norb):
+                    if a >= b:
+                        continue
+                    jp = table.cdg_sector(st.sector, up)
+                    jm = table.c_sector(st.sector, up)
+                    channel(("gaux", a, b), jp,
+                            [("cdg", a, up), ("cdg", b, up)], [1, 1], 1.0, +1)
+                    channel(("gaux", a, b), jm,
+                            [("c", a, up), ("c", b, up)], [1, 1], 1.0, -1)
+                    channel(("gaux", a, b), jp,
+                            [("cdg", a, up), ("cdg", b, up)], [1, 1j], -1j, +1)
+                    channel(("gaux", a, b), jm,
+                            [("c", a, up), ("c", b, up)], [1, -1j], -1j, -1)
+        # anomalous channels F_ab
+        pairs = ([(a, a) for a in range(norb)] if cfg.bath_type == "normal"
+                 else [(a, b) for a in range(norb) for b in range(norb)])
+        for (a, b) in pairs:
+            jp = table.cdg_sector(st.sector, up)   # sz+1 (c†↑ or c↓)
+            jm = table.c_sector(st.sector, up)     # sz-1
+            channel(("faux", a, b), jp,
+                    [("cdg", a, up), ("c", b, dw)], [1, 1], 1.0, +1)
+            channel(("faux", a, b), jm,
+                    [("c", a, up), ("cdg", b, dw)], [1, 1], 1.0, -1)
+            channel(("faux", a, b), jp,
+                    [("cdg", a, up), ("c", b, dw)], [1, 1j], -1j, +1)
+            channel(("faux", a, b), jm,
+                    [("c", a, up), ("cdg", b, dw)], [1, -1j], -1j, -1)
+    return gf
+
+
+def eval_gf_superc(cfg: EDConfig, gf: GFMatrix, z):
+    """Returns (G, F, barG): G,F (Nspin,Nspin,Norb,Norb,Lz); barG (Norb,Lz)."""
+    z = np.atleast_1d(np.asarray(z, complex))
+    norb = cfg.norb
+    g = np.zeros((1, 1, norb, norb, len(z)), complex)
+    f = np.zeros_like(g)
+    barg = np.zeros((norb, len(z)), complex)
+    for a in range(norb):
+        g[0, 0, a, a] = gf.eval(("g", a, a), z)
+        barg[a] = gf.eval(("barg", a), z)
+    for a in range(norb):
+        for b in range(norb):
+            if a < b and ("gaux", a, b) in gf.channels:
+                aux = gf.eval(("gaux", a, b), z)
+                gab = 0.5 * (aux - (1 - 1j) * (g[0, 0, a, a] + g[0, 0, b, b]))
+                g[0, 0, a, b] = gab
+                g[0, 0, b, a] = gab
+            if ("faux", a, b) in gf.channels:
+                aux = gf.eval(("faux", a, b), z)
+                f[0, 0, a, b] = 0.5 * (aux - (1 - 1j) * (g[0, 0, a, a] + barg[b]))
+    return g, f, barg
+
+
+def sigma_superc(cfg: EDConfig, g, f, invg0, invf0, axis="m"):
+    """Nambu Dyson (reference get_Sigma_superc): returns (Sigma, Self)."""
+    norb = cfg.norb
+    lz = g.shape[-1]
+    sigma = np.zeros_like(g)
+    self_ = np.zeros_like(g)
+    for i in range(lz):
+        gm = g[0, 0, :, :, i]
+        fm = f[0, 0, :, :, i]
+        if axis == "m":
+            g22 = -np.conj(gm)
+        else:
+            g22 = -np.conj(g[0, 0, :, :, lz - 1 - i])
+        m = np.block([[gm, fm], [np.conj(fm.T), g22]])
+        mi = np.linalg.inv(m)
+        sigma[0, 0, :, :, i] = invg0[0, 0, :, :, i] - mi[:norb, :norb]
+        self_[0, 0, :, :, i] = invf0[0, 0, :, :, i] - mi[:norb, norb:]
+    return sigma, self_
+
+
+# ---------------------------------------------------------------------------
+# nonsu2 GF
+# ---------------------------------------------------------------------------
+
+
+def build_gf_nonsu2(cfg: EDConfig, table: SectorTable, sl: StateList,
+                    matvec_builder, dense_eig_cache) -> GFMatrix:
+    gf = GFMatrix()
+    w = sl.boltzmann_weights()
+    norb, nspin = cfg.norb, cfg.nspin
+    ns = table.dims.ns
+    H = _GfHarvester(cfg, table, matvec_builder, dense_eig_cache)
+    keys = [(s, a) for s in range(nspin) for a in range(norb)]
+    offdiag = cfg.ed_all_g or cfg.bath_type != "normal" or cfg.ed_solve_offdiag_gf
+
+    for ist, st in enumerate(sl):
+        sec = table.sector(st.sector)
+        v2 = jnp.reshape(st.vector, (sec.dim_ph, sec.dim_el))
+        ei = st.energy
+        jp = table.cdg_sector(st.sector, 0)
+        jm = table.c_sector(st.sector, 0)
+
+        def channel(key, jsec, maps, coeffs, prefactor, sgn):
+            if jsec is None:
+                return
+            tsec = table.sector(jsec)
+            ms = [joint_op(sec.states, tsec.states, ns, kind, lvl, spin)
+                  for (kind, lvl, spin) in maps]
+            phi = _lincomb_phi(v2, ms, coeffs)
+            wts, en = H.moments(jsec, phi)
+            if len(wts):
+                gf.add(key, w[ist] * prefactor * wts, sgn * (en - ei))
+
+        for (s, a) in keys:
+            channel(("g", (s, a), (s, a)), jp, [("cdg", a, s)], [1.0], 1.0, +1)
+            channel(("g", (s, a), (s, a)), jm, [("c", a, s)], [1.0], 1.0, -1)
+        if offdiag:
+            for i1 in range(len(keys)):
+                for i2 in range(i1 + 1, len(keys)):
+                    (s1, a) = keys[i1]
+                    (s2, b) = keys[i2]
+                    channel(("gaux", keys[i1], keys[i2]), jp,
+                            [("cdg", a, s1), ("cdg", b, s2)], [1, 1], 1.0, +1)
+                    channel(("gaux", keys[i1], keys[i2]), jm,
+                            [("c", a, s1), ("c", b, s2)], [1, 1], 1.0, -1)
+                    channel(("gaux", keys[i1], keys[i2]), jp,
+                            [("cdg", a, s1), ("cdg", b, s2)], [1, 1j], -1j, +1)
+                    channel(("gaux", keys[i1], keys[i2]), jm,
+                            [("c", a, s1), ("c", b, s2)], [1, -1j], -1j, -1)
+    return gf
+
+
+def eval_gf_nonsu2(cfg: EDConfig, gf: GFMatrix, z):
+    z = np.atleast_1d(np.asarray(z, complex))
+    norb, nspin = cfg.norb, cfg.nspin
+    g = np.zeros((nspin, nspin, norb, norb, len(z)), complex)
+    keys = [(s, a) for s in range(nspin) for a in range(norb)]
+    for (s, a) in keys:
+        g[s, s, a, a] = gf.eval(("g", (s, a), (s, a)), z)
+    for i1 in range(len(keys)):
+        for i2 in range(i1 + 1, len(keys)):
+            key = ("gaux", keys[i1], keys[i2])
+            if key not in gf.channels:
+                continue
+            (s1, a) = keys[i1]
+            (s2, b) = keys[i2]
+            aux = gf.eval(key, z)
+            gab = 0.5 * (aux - (1 - 1j) * (g[s1, s1, a, a] + g[s2, s2, b, b]))
+            g[s1, s2, a, b] = gab
+            g[s2, s1, b, a] = gab
+    return g
+
+
+# ---------------------------------------------------------------------------
+# observables (joint modes)
+# ---------------------------------------------------------------------------
+
+
+def compute_observables_joint(cfg: EDConfig, table: SectorTable, sl: StateList,
+                              hloc, um: Umatrix,
+                              op_cache: Dict[int, JointSectorOp]) -> Observables:
+    norb = cfg.norb
+    ns = table.dims.ns
+    isdw = cfg.nspin - 1
+    w = sl.boltzmann_weights()
+    obs = Observables(
+        dens=np.zeros(norb), dens_up=np.zeros(norb), dens_dw=np.zeros(norb),
+        docc=np.zeros(norb), mag=np.zeros((3, norb)),
+        sz2=np.zeros((norb, norb)), n2=np.zeros((norb, norb)),
+        sp_dm=np.zeros((cfg.nspin, ns, ns), dtype=complex),
+        ph_n=np.zeros(cfg.nph + 1))
+    obs.egs = sl.e0
+    obs.phisc = np.zeros((norb, norb))
+    obs.argphi = np.zeros((norb, norb))
+    phi_c = np.zeros((norb, norb), complex)
+    ust_nd = um.ust - np.diag(np.diag(um.ust))
+    ustp_nd = um.ustp - np.diag(np.diag(um.ustp))
+
+    for ist, st in enumerate(sl):
+        sec = table.sector(st.sector)
+        v2 = np.asarray(st.vector).reshape(sec.dim_ph, sec.dim_el)
+        p2 = np.abs(v2) ** 2
+        pe = p2.sum(axis=0)
+        occ = occupations(sec.states, 2 * ns).astype(float)
+        o_up = occ[:, :norb]
+        o_dw = occ[:, ns: ns + norb]
+        nu = pe @ o_up
+        nd = pe @ o_dw
+        obs.dens_up += w[ist] * nu
+        obs.dens_dw += w[ist] * nd
+        obs.dens += w[ist] * (nu + nd)
+        obs.mag[2] += w[ist] * (nu - nd)
+        q_ud = np.einsum("i,ia,ib->ab", pe, o_up, o_dw)
+        q_uu = np.einsum("i,ia,ib->ab", pe, o_up, o_up)
+        q_dd = np.einsum("i,ia,ib->ab", pe, o_dw, o_dw)
+        obs.docc += w[ist] * np.diag(q_ud)
+        obs.n2 += w[ist] * (q_uu + q_dd + q_ud + q_ud.T)
+        sz2 = 0.25 * (q_uu + q_dd - q_ud - q_ud.T)
+        obs.sz2 += w[ist] * sz2
+        obs.s2tot += w[ist] * sz2.sum()
+        if cfg.nph > 0:
+            obs.ph_n += w[ist] * p2.sum(axis=1)
+        # energies: eknot (imp one-body diag only here; offdiag via ops below)
+        himp_u = np.real(np.asarray(hloc)[0, 0])
+        himp_d = np.real(np.asarray(hloc)[isdw, isdw])
+        obs.eknot += w[ist] * float(np.diag(himp_u) @ nu + np.diag(himp_d) @ nd)
+        epot = float(um.uloc @ np.diag(q_ud))
+        dust = dund = 0.0
+        for a in range(norb):
+            for b in range(a + 1, norb):
+                du_ab = q_ud[a, b] + q_ud[b, a]
+                epot += um.ust[a, b] * du_ab
+                dust += du_ab
+                dn_ab = q_uu[a, b] + q_dd[a, b]
+                epot += um.ustp[a, b] * dn_ab
+                dund += dn_ab
+        obs.dust += w[ist] * dust
+        obs.dund += w[ist] * dund
+        obs.eint += w[ist] * epot
+        if cfg.hfmode:
+            ntot = nu + nd
+            eh = float(-0.5 * um.uloc @ ntot + 0.25 * um.uloc.sum())
+            for a in range(norb):
+                for b in range(a + 1, norb):
+                    eh += -0.5 * (um.ust[a, b] + um.ustp[a, b]) * (ntot[a] + ntot[b]) \
+                        + 0.5 * (um.ust[a, b] + um.ustp[a, b])
+            obs.ehartree += w[ist] * eh
+        # superc order parameter phi_ab = <c_{b,up} c_{a,dw}>
+        if cfg.ed_mode == "superc":
+            vj = jnp.asarray(v2)
+            for a in range(norb):
+                for b in range(norb):
+                    m1 = joint_op(sec.states, sec.states, ns, "c", a, SPIN_DW)
+                    # intermediate sector after removing a dw electron is a
+                    # different Sz sector; build the two-step map via opstrings
+                    acc = JointTermAccumulator(sec.states, ns)
+                    acc.add_opstring([("c", a, SPIN_DW), ("c", b, SPIN_UP)], 1.0)
+                    rows, cols, vals = acc.coo()
+                    if len(rows):
+                        amp = np.zeros((sec.dim_el,), complex)
+                        vv = v2.sum(axis=0) if sec.dim_ph == 1 else None
+                        contrib = 0.0 + 0j
+                        for p in range(sec.dim_ph):
+                            contrib += np.sum(
+                                np.conj(v2[p, rows]) * vals * v2[p, cols])
+                        phi_c[a, b] += w[ist] * contrib
+    obs.epot = obs.eint + obs.ehartree
+    if cfg.ed_mode == "superc":
+        obs.phisc = np.abs(phi_c)
+        obs.argphi = np.arctan2(np.imag(phi_c), np.real(phi_c))
+    return obs
+
+
+# ---------------------------------------------------------------------------
+
+
+def solve_impurity_joint(cfg: EDConfig, hloc, um: Umatrix, bath: DmftBath,
+                         neigen_override=None, hloc_anomalous=None):
+    from .core import SolveResult
+
+    table = SectorTable(cfg)
+    op_cache: Dict[int, JointSectorOp] = {}
+    mv_cache: Dict[int, JointMatvec] = {}
+    dense_cache: Dict[int, Tuple] = {}
+
+    def get_op(sec: Sector) -> JointSectorOp:
+        if sec.index not in op_cache:
+            op_cache[sec.index] = build_joint_sector_op(
+                cfg, sec, hloc, um, bath, hloc_anomalous=hloc_anomalous)
+        return op_cache[sec.index]
+
+    def matvec_builder(sec: Sector) -> JointMatvec:
+        if sec.index not in mv_cache:
+            mv_cache[sec.index] = JointMatvec(get_op(sec))
+        return mv_cache[sec.index]
+
+    def dense_builder(sec: Sector) -> np.ndarray:
+        return get_op(sec).to_dense()
+
+    def dense_eig_cache(isec: int):
+        sec = table.sector(isec)
+        if sec.dim > cfg.lanc_dim_threshold:
+            return None
+        if isec not in dense_cache:
+            h = dense_builder(sec)
+            evals, evecs = np.linalg.eigh(h)
+            dense_cache[isec] = (evals, jnp.asarray(evecs))
+        return dense_cache[isec]
+
+    diag = diagonalize(cfg, table, matvec_builder, dense_builder,
+                       neigen_override=neigen_override)
+
+    if cfg.ed_mode == "superc":
+        gf = build_gf_superc(cfg, table, diag.state_list, matvec_builder,
+                             dense_eig_cache)
+    else:
+        gf = build_gf_nonsu2(cfg, table, diag.state_list, matvec_builder,
+                             dense_eig_cache)
+
+    obs = compute_observables_joint(cfg, table, diag.state_list, hloc, um,
+                                    op_cache)
+
+    return SolveResult(cfg=cfg, table=table, diag=diag, gf=gf, obs=obs,
+                       bath=bath.copy(), hloc=np.asarray(hloc), um=um)

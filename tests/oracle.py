@@ -194,3 +194,182 @@ def oracle_normal_hamiltonian(orc: FockOracle, cfg, hloc, um, bath):
     for t in um.sundry:
         h = h + np.real(t.coeff) * orc.opstring([(k, o, s) for (k, o, s) in t.ops])
     return h
+
+
+def oracle_superc_hamiltonian(orc: FockOracle, cfg, hloc, um, bath,
+                              hloc_anomalous=None):
+    """Full-Fock superc H (joint JW convention): normal part + pairing."""
+    import numpy as np
+    from edipack_tpu.fock import bath_level
+    from edipack_tpu.bath.dmft_bath import bath_levels, bath_hyb
+
+    assert orc.convention == "joint"
+    ns, norb, nbath = orc.ns, cfg.norb, cfg.nbath
+    h = sp.csr_matrix((orc.dim, orc.dim), dtype=complex)
+    hloc = np.asarray(hloc, dtype=complex)
+    mf = um.mf_hloc
+    # impurity one-body (both spins) - xmu
+    for s in (0, 1):
+        blk = hloc[0, 0] + mf[s, s] if s == 0 else hloc[cfg.nspin - 1,
+                                                        cfg.nspin - 1] + mf[1, 1]
+        for i in range(norb):
+            for j in range(norb):
+                t = blk[i, j] - (cfg.xmu if i == j else 0)
+                if t != 0:
+                    h = h + t * (orc.cdg(i, s) @ orc.c(j, s))
+    # pairing on impurity
+    pf = np.asarray(cfg.pair_field[:norb])
+    han = (np.asarray(hloc_anomalous, complex) if hloc_anomalous is not None
+           else np.zeros((norb, norb), complex))
+    for a in range(norb):
+        for b in range(norb):
+            amp = han[a, b] + (pf[a] if a == b else 0.0)
+            if amp != 0:
+                # amp * c_{b,dw} c_{a,up} + conj(amp') c†_{a,up} c†_{b,dw}
+                h = h + amp * (orc.c(b, 1) @ orc.c(a, 0))
+                h = h + (np.conj(han[a, b]) + (pf[a] if a == b else 0.0)) * \
+                    (orc.cdg(a, 0) @ orc.cdg(b, 1))
+    # bath levels + pairing + hybridization (normal/hybrid bath)
+    ed = bath_levels(bath)
+    vh = bath_hyb(bath)
+    isdw = cfg.nspin - 1
+    for i in range(ed.shape[1]):
+        for k in range(nbath):
+            lb = bath_level(cfg.bath_type, norb, nbath, i, k)
+            for s in (0, 1):
+                e = ed[0 if s == 0 else isdw, i, k]
+                if e != 0:
+                    h = h + e * orc.n(lb, s)
+    if bath.d is not None:
+        for i in range(bath.d.shape[1]):
+            for k in range(nbath):
+                lb = bath_level(cfg.bath_type, norb, nbath, i, k)
+                dk = bath.d[0, i, k]
+                if dk != 0:
+                    h = h + dk * (orc.c(lb, 1) @ orc.c(lb, 0))
+                    h = h + dk * (orc.cdg(lb, 0) @ orc.cdg(lb, 1))
+    for i in range(norb):
+        for k in range(nbath):
+            lb = bath_level(cfg.bath_type, norb, nbath, i, k)
+            for s in (0, 1):
+                v = vh[0 if s == 0 else isdw, i, k]
+                if v != 0:
+                    h = h + v * (orc.cdg(i, s) @ orc.c(lb, s)
+                                 + orc.cdg(lb, s) @ orc.c(i, s))
+    # interaction: density-density + Hartree (same as normal)
+    nmu = [orc.n(i, 0) for i in range(norb)]
+    nmd = [orc.n(i, 1) for i in range(norb)]
+    for a in range(norb):
+        h = h + um.uloc[a] * (nmu[a] @ nmd[a])
+    for a in range(norb):
+        for b in range(a + 1, norb):
+            h = h + um.ust[a, b] * (nmu[a] @ nmd[b] + nmu[b] @ nmd[a])
+            h = h + um.ustp[a, b] * (nmu[a] @ nmu[b] + nmd[a] @ nmd[b])
+    if cfg.hfmode:
+        eye = sp.identity(orc.dim, format="csr")
+        for a in range(norb):
+            h = h - 0.5 * um.uloc[a] * (nmu[a] + nmd[a]) + 0.25 * um.uloc[a] * eye
+        for a in range(norb):
+            for b in range(a + 1, norb):
+                na = nmu[a] + nmd[a] + nmu[b] + nmd[b]
+                h = h - 0.5 * (um.ust[a, b] + um.ustp[a, b]) * na \
+                    + 0.5 * (um.ust[a, b] + um.ustp[a, b]) * eye
+    # Jx / Jp in the joint convention (reference Hint.f90 operator order)
+    for a in range(norb):
+        for b in range(norb):
+            if a != b and um.jx[a, b] != 0:
+                op = (orc.cdg(a, 0) @ orc.cdg(b, 1) @ orc.c(a, 1) @ orc.c(b, 0))
+                h = h + um.jx[a, b] * op
+            if a != b and um.jp[a, b] != 0:
+                op = (orc.cdg(a, 0) @ orc.cdg(a, 1) @ orc.c(b, 1) @ orc.c(b, 0))
+                h = h + um.jp[a, b] * op
+    return h
+
+
+def oracle_nonsu2_hamiltonian(orc: FockOracle, cfg, hloc, um, bath):
+    """Full-Fock nonsu2 H (joint convention): full spin-block one-body,
+    spin fields, spin-flip bath hybridization u."""
+    import numpy as np
+    from edipack_tpu.fock import bath_level
+    from edipack_tpu.bath.dmft_bath import bath_levels, bath_hyb
+
+    assert orc.convention == "joint"
+    ns, norb, nbath = orc.ns, cfg.norb, cfg.nbath
+    h = sp.csr_matrix((orc.dim, orc.dim), dtype=complex)
+    hloc = np.asarray(hloc, complex)
+    mf = um.mf_hloc
+    sfx = np.asarray(cfg.spin_field_x[:norb])
+    sfy = np.asarray(cfg.spin_field_y[:norb])
+    sfz = np.asarray(cfg.spin_field_z[:norb])
+    for s1 in (0, 1):
+        for s2 in (0, 1):
+            blk = hloc[s1, s2] + mf[s1, s2]
+            for i in range(norb):
+                for j in range(norb):
+                    t = blk[i, j]
+                    if s1 == s2 and i == j:
+                        t = t - cfg.xmu + (sfz[i] if s1 == 0 else -sfz[i])
+                    if t != 0:
+                        h = h + t * (orc.cdg(i, s1) @ orc.c(j, s2))
+    for a in range(norb):
+        if sfx[a] != 0 or sfy[a] != 0:
+            h = h + (sfx[a] - 1j * sfy[a]) * (orc.cdg(a, 0) @ orc.c(a, 1))
+            h = h + (sfx[a] + 1j * sfy[a]) * (orc.cdg(a, 1) @ orc.c(a, 0))
+    ed = bath_levels(bath)
+    vh = bath_hyb(bath)
+    isdw = cfg.nspin - 1
+    for i in range(ed.shape[1]):
+        for k in range(nbath):
+            lb = bath_level(cfg.bath_type, norb, nbath, i, k)
+            h = h + ed[0, i, k] * orc.n(lb, 0) + ed[isdw, i, k] * orc.n(lb, 1)
+    for i in range(norb):
+        for k in range(nbath):
+            lb = bath_level(cfg.bath_type, norb, nbath, i, k)
+            for s in (0, 1):
+                v = vh[0 if s == 0 else isdw, i, k]
+                if v != 0:
+                    h = h + v * (orc.cdg(i, s) @ orc.c(lb, s)
+                                 + orc.cdg(lb, s) @ orc.c(i, s))
+    if bath.u is not None:
+        for i in range(norb):
+            for k in range(nbath):
+                lb = bath_level(cfg.bath_type, norb, nbath, i, k)
+                u1 = bath.u[0, i, k]
+                u2 = bath.u[isdw, i, k]
+                # imp up <-> bath dw and imp dw <-> bath up
+                # (reference ED_NONSU2/stored/Himp_bath.f90:82-130)
+                if u1 != 0:
+                    h = h + u1 * (orc.cdg(lb, 1) @ orc.c(i, 0)
+                                  + orc.cdg(i, 0) @ orc.c(lb, 1))
+                if u2 != 0:
+                    h = h + u2 * (orc.cdg(lb, 0) @ orc.c(i, 1)
+                                  + orc.cdg(i, 1) @ orc.c(lb, 0))
+    # interaction density + Hartree + Jx/Jp (joint convention)
+    nmu = [orc.n(i, 0) for i in range(norb)]
+    nmd = [orc.n(i, 1) for i in range(norb)]
+    for a in range(norb):
+        h = h + um.uloc[a] * (nmu[a] @ nmd[a])
+    for a in range(norb):
+        for b in range(a + 1, norb):
+            h = h + um.ust[a, b] * (nmu[a] @ nmd[b] + nmu[b] @ nmd[a])
+            h = h + um.ustp[a, b] * (nmu[a] @ nmu[b] + nmd[a] @ nmd[b])
+    if cfg.hfmode:
+        eye = sp.identity(orc.dim, format="csr")
+        for a in range(norb):
+            h = h - 0.5 * um.uloc[a] * (nmu[a] + nmd[a]) + 0.25 * um.uloc[a] * eye
+        for a in range(norb):
+            for b in range(a + 1, norb):
+                na = nmu[a] + nmd[a] + nmu[b] + nmd[b]
+                h = h - 0.5 * (um.ust[a, b] + um.ustp[a, b]) * na \
+                    + 0.5 * (um.ust[a, b] + um.ustp[a, b]) * eye
+    for a in range(norb):
+        for b in range(norb):
+            if a != b and um.jx[a, b] != 0:
+                h = h + um.jx[a, b] * (orc.cdg(a, 0) @ orc.cdg(b, 1)
+                                       @ orc.c(a, 1) @ orc.c(b, 0))
+            if a != b and um.jp[a, b] != 0:
+                h = h + um.jp[a, b] * (orc.cdg(a, 0) @ orc.cdg(a, 1)
+                                       @ orc.c(b, 1) @ orc.c(b, 0))
+    for t in um.sundry:
+        h = h + t.coeff * orc.opstring([(k, o, s) for (k, o, s) in t.ops])
+    return h
