@@ -87,6 +87,69 @@ def _weiss_from_delta(delta, z, hloc_s, cfg: EDConfig):
     return jnp.moveaxis(jnp.linalg.inv(m), 0, -1)
 
 
+def _unpack_superc(p, cfg: EDConfig):
+    """packed superc bath -> (e, d, v)."""
+    ns, no, nb = cfg.nspin, cfg.norb, cfg.nbath
+    if cfg.bath_type == "normal":
+        n = ns * no * nb
+        return (p[:n].reshape(ns, no, nb), p[n:2 * n].reshape(ns, no, nb),
+                p[2 * n:3 * n].reshape(ns, no, nb))
+    ne = ns * nb
+    return (p[:ne].reshape(ns, 1, nb), p[ne:2 * ne].reshape(ns, 1, nb),
+            p[2 * ne:2 * ne + ns * no * nb].reshape(ns, no, nb))
+
+
+def _delta_superc_jax(p, z, cfg: EDConfig):
+    """(Δ, FΔ) on the Matsubara-like grid (reference delta/fdelta_normal
+    superc branches): Δ = -Σ v²(z+e)/(|Im z|²+e²+d²), FΔ = Σ v²d/(...)."""
+    e, d, v = _unpack_superc(p, cfg)
+    den_z = jnp.imag(z) ** 2
+    if cfg.bath_type == "normal":
+        den = den_z[None, None, :] + (e[0, :, :, None] ** 2 + d[0, :, :, None] ** 2)
+        dd = -jnp.sum(v[0, :, :, None] ** 2 * (z[None, None, :] + e[0, :, :, None])
+                      / den, axis=1)
+        fd = jnp.sum(v[0, :, :, None] ** 2 * d[0, :, :, None] / den, axis=1)
+        eye = jnp.eye(cfg.norb)
+        return (jnp.einsum("al,ab->abl", dd, eye),
+                jnp.einsum("al,ab->abl", fd, eye))
+    den = den_z[None, :] + e[0, 0, :, None] ** 2 + d[0, 0, :, None] ** 2
+    vv = v[0, :, None, :, None] * v[0, None, :, :, None]     # (No,No,Nb,L)
+    dd = -jnp.sum(vv * (z[None, None, None, :] + e[0, 0, None, None, :, None])
+                  / den[None, None], axis=2)
+    fd = jnp.sum(vv * d[0, 0, None, None, :, None] / den[None, None], axis=2)
+    return dd, fd
+
+
+def _unpack_nonsu2(p, cfg: EDConfig):
+    ns, no, nb = cfg.nspin, cfg.norb, cfg.nbath
+    if cfg.bath_type == "normal":
+        n = ns * no * nb
+        return (p[:n].reshape(ns, no, nb), p[n:2 * n].reshape(ns, no, nb),
+                p[2 * n:3 * n].reshape(ns, no, nb))
+    ne = ns * nb
+    nv = ns * no * nb
+    return (p[:ne].reshape(ns, 1, nb), p[ne:ne + nv].reshape(ns, no, nb),
+            p[ne + nv:ne + 2 * nv].reshape(ns, no, nb))
+
+
+def _delta_nonsu2_jax(p, z, cfg: EDConfig):
+    """Δ^{ss'}_ab(z) with spin-flip amplitudes (reference delta_normal nonsu2
+    branch: W(s,h)=v if h==s else u; Δ^{ss'} = Σ_h W(s,h)W(s',h)/(z-e_h))."""
+    e, v, u = _unpack_nonsu2(p, cfg)
+    ns, no = cfg.nspin, cfg.norb
+    w = jnp.stack([jnp.stack([v[0], u[0]]),
+                   jnp.stack([u[ns - 1], v[ns - 1]])])  # (s, h, No, Nb)
+    if cfg.bath_type == "normal":
+        eh = jnp.stack([e[0], e[ns - 1]])               # (h, No, Nb)
+        dd = jnp.einsum("shak,thak,hakl->stal",
+                        w, w, 1.0 / (z[None, None, None, :] - eh[..., None]))
+        eye = jnp.eye(no)
+        return jnp.einsum("stal,ab->stabl", dd, eye)
+    eh = jnp.stack([e[0, 0], e[ns - 1, 0]])             # (h, Nb)
+    return jnp.einsum("shak,thbk,hkl->stabl",
+                      w, w, 1.0 / (z[None, None, :] - eh[..., None]))
+
+
 def chi2_fitgf(cfg: EDConfig, func: np.ndarray, bath_array: np.ndarray,
                ispin: int = 1, iorb: Optional[int] = None,
                basis: Optional[ReplicaBasis] = None,
@@ -96,15 +159,17 @@ def chi2_fitgf(cfg: EDConfig, func: np.ndarray, bath_array: np.ndarray,
     ``func``: (Norb,Norb,Lmats) or (Nspin,Nspin,Norb,Norb,Lmats); returns the
     updated packed bath array (reference overwrites the user bath)."""
     s = ispin - 1
-    func = np.asarray(func)
-    if func.ndim == 5:
-        func = func[s, s]
-    elif func.ndim == 3 and func.shape[0] == cfg.norb:
-        pass
-    elif func.ndim == 1:
-        func = func[None, None, :]
-    nfit = min(cfg.lfit, func.shape[-1])
-    target = jnp.asarray(func[..., :nfit])
+    if not isinstance(func, (tuple, list)):
+        func = np.asarray(func)
+        if cfg.ed_mode == "normal":
+            if func.ndim == 5:
+                func = func[s, s]
+            elif func.ndim == 1:
+                func = func[None, None, :]
+    nfit = min(cfg.lfit, (func[0] if isinstance(func, (tuple, list))
+                          else func).shape[-1])
+    if not isinstance(func, (tuple, list)):
+        target = jnp.asarray(func[..., :nfit])  # overridden per mode below
     wn = (2 * np.arange(nfit) + 1) * np.pi / cfg.beta
     z = jnp.asarray(1j * wn)
     if cfg.cg_weight == 1:
@@ -120,18 +185,16 @@ def chi2_fitgf(cfg: EDConfig, func: np.ndarray, bath_array: np.ndarray,
     hloc_s = jnp.asarray(np.real(hloc[s, s]))
 
     is_replica = cfg.bath_type in ("replica", "general")
+    mode = cfg.ed_mode
 
     p_full = jnp.asarray(np.asarray(bath_array, float))
+    diag_only = (cfg.bath_type == "normal")
+    no = cfg.norb
 
     if is_replica:
-        def delta_fn(p):
-            return _delta_replica_jax(p, z, cfg, basis, s)
-        # fit all parameters except the leading Nbasis count
         fit_idx = np.arange(1, p_full.shape[0])
-    else:
-        def delta_fn(p):
-            return _delta_normal_jax(p, z, cfg, s)
-        ns, no, nb = cfg.nspin, cfg.norb, cfg.nbath
+    elif mode == "normal":
+        ns, nb = cfg.nspin, cfg.nbath
         if cfg.bath_type == "normal":
             idx_e = (np.arange(no * nb) + s * no * nb)
             idx_v = ns * no * nb + s * no * nb + np.arange(no * nb)
@@ -139,26 +202,90 @@ def chi2_fitgf(cfg: EDConfig, func: np.ndarray, bath_array: np.ndarray,
             idx_e = s * nb + np.arange(nb)
             idx_v = ns * nb + s * no * nb + np.arange(no * nb)
         fit_idx = np.concatenate([idx_e, idx_v])
-
+    else:
+        fit_idx = np.arange(p_full.shape[0])
     fit_idx = jnp.asarray(fit_idx, jnp.int32)
-    diag_only = (cfg.bath_type == "normal")
 
-    def model(p_fit):
-        p = p_full.at[fit_idx].set(p_fit)
-        d = delta_fn(p)
-        if cfg.cg_scheme == "weiss":
-            return _weiss_from_delta(d, z, hloc_s, cfg)
-        return d
+    if mode == "superc":
+        # target: (2, Norb, Norb, L) stacked (normal, anomalous) parts, or a
+        # tuple of the two (reference fits G0&F0 / Δ&FΔ jointly)
+        if isinstance(func, (tuple, list)):
+            tg = np.stack([np.asarray(func[0]), np.asarray(func[1])])
+        else:
+            tg = np.asarray(func)
+        if tg.ndim == 6:   # (2, Nspin, Nspin, No, No, L)
+            tg = tg[:, 0, 0]
+        target = jnp.asarray(tg[..., :nfit])
 
-    def chi2(p_fit):
-        f = model(p_fit)
-        diff = f - target
-        if diag_only:
-            diff = diff * jnp.eye(cfg.norb)[:, :, None]
-        an = jnp.abs(diff) ** cfg.cg_pow
-        if cfg.cg_norm == "frobenius":
+        def model(p_fit):
+            p = p_full.at[fit_idx].set(p_fit)
+            dd, fd = _delta_superc_jax(p, z, cfg)
+            if cfg.cg_scheme != "weiss":
+                return jnp.stack([dd, fd])
+            a11 = (z[:, None, None] + cfg.xmu) * jnp.eye(no)[None] \
+                - hloc_s[None] - jnp.moveaxis(dd, -1, 0)
+            a12 = -jnp.moveaxis(fd, -1, 0)
+            m = jnp.block([[a11, a12],
+                           [jnp.conj(jnp.swapaxes(a12, 1, 2)), -jnp.conj(a11)]])
+            gi = jnp.linalg.inv(m)
+            g0 = jnp.moveaxis(gi[:, :no, :no], 0, -1)
+            f0 = jnp.moveaxis(gi[:, :no, no:], 0, -1)
+            return jnp.stack([g0, f0])
+
+        def chi2(p_fit):
+            diff = model(p_fit) - target
+            if diag_only:
+                diff = diff * jnp.eye(no)[None, :, :, None]
+            return jnp.sum(wts[None, None, None, :] * jnp.abs(diff) ** cfg.cg_pow) / nfit
+
+    elif mode == "nonsu2":
+        tg = np.asarray(func)   # (Nspin,Nspin,No,No,L)
+        target = jnp.asarray(tg[..., :nfit])
+        hloc_full = jnp.asarray(np.asarray(hloc, complex))
+
+        def model(p_fit):
+            p = p_full.at[fit_idx].set(p_fit)
+            dd = _delta_nonsu2_jax(p, z, cfg)     # (s,s',a,b,L)
+            if cfg.cg_scheme != "weiss":
+                return dd
+            ns_ = cfg.nspin
+            nso = ns_ * no
+            hmat = hloc_full.transpose(0, 2, 1, 3).reshape(nso, nso)
+            dmat = jnp.moveaxis(dd, -1, 0).transpose(0, 1, 3, 2, 4) \
+                .reshape(-1, nso, nso)
+            m = (z[:, None, None] + cfg.xmu) * jnp.eye(nso)[None] \
+                - hmat[None] - dmat
+            gi = jnp.linalg.inv(m)
+            return gi.reshape(-1, ns_, no, ns_, no).transpose(1, 3, 2, 4, 0)
+
+        def chi2(p_fit):
+            diff = model(p_fit) - target
+            if diag_only:
+                diff = diff * jnp.eye(no)[None, None, :, :, None]
+            return jnp.sum(wts * jnp.abs(diff) ** cfg.cg_pow) / nfit
+
+    else:
+        if is_replica:
+            def delta_fn(p):
+                return _delta_replica_jax(p, z, cfg, basis, s)
+        else:
+            def delta_fn(p):
+                return _delta_normal_jax(p, z, cfg, s)
+
+        def model(p_fit):
+            p = p_full.at[fit_idx].set(p_fit)
+            d = delta_fn(p)
+            if cfg.cg_scheme == "weiss":
+                return _weiss_from_delta(d, z, hloc_s, cfg)
+            return d
+
+        def chi2(p_fit):
+            f = model(p_fit)
+            diff = f - target
+            if diag_only:
+                diff = diff * jnp.eye(cfg.norb)[:, :, None]
+            an = jnp.abs(diff) ** cfg.cg_pow
             return jnp.sum(wts[None, None, :] * an) / nfit
-        return jnp.sum(wts[None, None, :] * an) / nfit
 
     val_grad = jax.jit(jax.value_and_grad(chi2))
 
