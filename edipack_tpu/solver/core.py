@@ -92,7 +92,9 @@ class SolveResult:
         return self.get_sigma(zeta, axis, typ="a")
 
     def get_dimp(self, zeta=None, axis="m"):
-        raise NotImplementedError("phonon GF arrives with the phonon GF pass")
+        from .greens import eval_dimp
+        z = self._zgrid(zeta, axis)
+        return eval_dimp(self.cfg, self.gf, z, axis=axis[:1])
 
     def get_chi(self, kind="spin", zeta=None, axis="m"):
         if self.chi is None:

@@ -177,6 +177,25 @@ def build_gf_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
                     key = ("g", ispin, a, b) if a == b else ("aux", ispin, a, b)
                     (gf if a == b else aux).add(key, wstate * w, poles)
 
+    # phonon displacement propagator channel (reference
+    # lanc_build_gf_phonon_main, ED_GF_NORMAL.f90:278-345): X = b + b†
+    # applied within the SAME sector
+    if cfg.nph > 0:
+        from ..models.normal import _phonon_matrices
+        _, x = _phonon_matrices(cfg)
+        xj = jnp.asarray(x)
+        for istate, st in enumerate(sl):
+            sec = table.sector(st.sector)
+            v3 = jnp.reshape(st.vector, (sec.dim_ph, sec.dim_dw, sec.dim_up))
+            phi = jnp.einsum("pq,qdu->pdu", xj, v3)
+            dense_eig = dense_eig_cache(st.sector)
+            mv = None if dense_eig is not None else matvec_builder(sec)
+            m = min(cfg.lanc_ngfiter, max(2, sec.dim))
+            wts, en = _moments_from_phi(mv, phi.reshape(-1), m,
+                                        dense_eig=dense_eig)
+            if len(wts):
+                gf.add(("ph",), weights[istate] * wts, en - st.energy)
+
     # off-diagonal reconstruction: G_ab = (aux - G_aa - G_bb)/2
     if offdiag:
         for ispin in range(nspin):
@@ -204,6 +223,28 @@ def eval_gf_normal(cfg: EDConfig, gf: GFMatrix, z) -> np.ndarray:
         for a in range(no):
             for b in range(no):
                 out[s, s, a, b] = gf.eval(("g", s, a, b), z)
+    return out
+
+
+def eval_dimp(cfg: EDConfig, gf: GFMatrix, z, axis: str = "m") -> np.ndarray:
+    """Phonon propagator D(z) with enforced spectral symmetry
+    (reference get_impD_normal, ED_GF_NORMAL.f90:611-690)."""
+    z = np.atleast_1d(np.asarray(z, complex))
+    out = np.zeros(len(z), complex)
+    w, p = gf.packed(("ph",))
+    beta = cfg.beta
+    for peso, de in zip(np.real(w), p):
+        if abs(beta * de) < 1e-8:
+            if axis.startswith("m"):
+                out[np.abs(z) < 1e-10] -= peso * beta
+            else:
+                out[np.abs(np.real(z)) < 1e-10] += peso * beta
+        elif de > 0:
+            f = peso * (1.0 - np.exp(-beta * de))
+            if axis.startswith("m"):
+                out -= f * 2 * de / (np.imag(z) ** 2 + de ** 2)
+            else:
+                out += f * (1.0 / (z - de) - 1.0 / (z + de))
     return out
 
 
