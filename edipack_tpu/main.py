@@ -32,6 +32,7 @@ class EDSolver:
         self.cfg.validate()
         self.hloc = np.zeros((self.cfg.nspin, self.cfg.nspin,
                               self.cfg.norb, self.cfg.norb), dtype=complex)
+        self.hloc_anomalous: Optional[np.ndarray] = None
         self.runtime_terms: List[TwoBodyTerm] = []
         self.result: Optional[SolveResult] = None
         self.basis = get_global_basis()
@@ -53,7 +54,7 @@ class EDSolver:
                                   restart_file=restart)
         return bath_to_array(self.bath)
 
-    def set_hloc(self, hloc: np.ndarray) -> None:
+    def set_hloc(self, hloc: np.ndarray, hloc_anomalous=None) -> None:
         """reference ed_set_Hloc (ED_AUX_FUNX.f90:202-274). Accepts
         (Nspin,Nspin,Norb,Norb) or (Nspin*Norb, Nspin*Norb)."""
         ns, no = self.cfg.nspin, self.cfg.norb
@@ -63,6 +64,12 @@ class EDSolver:
         if h.shape != (ns, ns, no, no):
             raise ValueError(f"bad Hloc shape {h.shape}")
         self.hloc = h
+        if hloc_anomalous is not None:
+            ha = np.asarray(hloc_anomalous, dtype=complex)
+            if ha.shape[-2:] != (no, no):
+                raise ValueError(f"bad anomalous Hloc shape {ha.shape}")
+            self.hloc_anomalous = ha.reshape(no, no) if ha.ndim == 2 \
+                else ha[0, 0]
 
     def add_twobody_operator(self, oi, si, oj, sj, ok, sk, ol, sl, u) -> None:
         self.runtime_terms.append(make_term(oi, si, oj, sj, ok, sk, ol, sl, u))
@@ -74,8 +81,22 @@ class EDSolver:
         if bath_array is not None:
             self.bath = array_to_bath(bath_array, self.cfg, self.basis)
         um = build_umatrix(self.cfg, runtime_terms=self.runtime_terms)
+        neigen = self.neigen_sector_override
+        sector_mask = None
+        from . import io as edio
+        from .sectors import SectorTable
+        if neigen is None or self.cfg.ed_sectors:
+            table = SectorTable(self.cfg)
+            if neigen is None:
+                neigen = edio.read_state_list_restart(self.cfg, table)
+            if self.cfg.ed_sectors:
+                sector_mask = edio.read_sectors_restart(self.cfg, table)
         self.result = solve_impurity(self.cfg, self.hloc, um, self.bath,
-                                     neigen_override=self.neigen_sector_override)
+                                     neigen_override=neigen,
+                                     sector_mask=sector_mask,
+                                     hloc_anomalous=self.hloc_anomalous)
+        if self.cfg.ed_write_files:
+            edio.write_all_outputs(self.cfg, self.result)
         return self.result
 
     def finalize(self) -> None:
@@ -105,8 +126,8 @@ def ed_init_solver(bath=None, cfg: Optional[EDConfig] = None):
     return arr
 
 
-def ed_set_hloc(hloc) -> None:
-    _S().set_hloc(hloc)
+def ed_set_hloc(hloc, hloc_anomalous=None) -> None:
+    _S().set_hloc(hloc, hloc_anomalous)
 
 
 def ed_solve(bath=None):

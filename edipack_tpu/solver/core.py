@@ -173,12 +173,16 @@ class SolveResult:
 
 def solve_impurity(cfg: EDConfig, hloc: np.ndarray, um: Umatrix,
                    bath: DmftBath,
-                   neigen_override: Optional[np.ndarray] = None) -> SolveResult:
+                   neigen_override: Optional[np.ndarray] = None,
+                   sector_mask: Optional[np.ndarray] = None,
+                   hloc_anomalous: Optional[np.ndarray] = None) -> SolveResult:
     cfg.validate()
     if cfg.ed_mode != "normal":
         from .core_joint import solve_impurity_joint
         return solve_impurity_joint(cfg, hloc, um, bath,
-                                    neigen_override=neigen_override)
+                                    neigen_override=neigen_override,
+                                    sector_mask=sector_mask,
+                                    hloc_anomalous=hloc_anomalous)
 
     table = SectorTable(cfg)
     dtype = jnp.float64 if cfg.ed_precision == "float64" else jnp.float32
@@ -211,7 +215,6 @@ def solve_impurity(cfg: EDConfig, hloc: np.ndarray, um: Umatrix,
             dense_cache[isec] = (evals, jnp.asarray(evecs))
         return dense_cache[isec]
 
-    sector_mask = None
     diag = diagonalize(cfg, table, matvec_builder, dense_builder,
                        neigen_override=neigen_override,
                        sector_mask=sector_mask)

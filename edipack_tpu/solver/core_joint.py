@@ -356,7 +356,8 @@ def compute_observables_joint(cfg: EDConfig, table: SectorTable, sl: StateList,
 
 
 def solve_impurity_joint(cfg: EDConfig, hloc, um: Umatrix, bath: DmftBath,
-                         neigen_override=None, hloc_anomalous=None):
+                         neigen_override=None, sector_mask=None,
+                         hloc_anomalous=None):
     from .core import SolveResult
 
     table = SectorTable(cfg)
@@ -389,7 +390,8 @@ def solve_impurity_joint(cfg: EDConfig, hloc, um: Umatrix, bath: DmftBath,
         return dense_cache[isec]
 
     diag = diagonalize(cfg, table, matvec_builder, dense_builder,
-                       neigen_override=neigen_override)
+                       neigen_override=neigen_override,
+                       sector_mask=sector_mask)
 
     if cfg.ed_mode == "superc":
         gf = build_gf_superc(cfg, table, diag.state_list, matvec_builder,
@@ -402,4 +404,5 @@ def solve_impurity_joint(cfg: EDConfig, hloc, um: Umatrix, bath: DmftBath,
                                     op_cache)
 
     return SolveResult(cfg=cfg, table=table, diag=diag, gf=gf, obs=obs,
-                       bath=bath.copy(), hloc=np.asarray(hloc), um=um)
+                       bath=bath.copy(), hloc=np.asarray(hloc), um=um,
+                       hloc_anomalous=hloc_anomalous)

@@ -1,0 +1,81 @@
+"""File outputs and restart-file contracts."""
+import os
+
+import numpy as np
+import pytest
+
+import edipack_tpu as ed
+from edipack_tpu.config import default_config, set_config
+from edipack_tpu import io as edio
+from edipack_tpu.sectors import SectorTable
+
+
+def test_outputs_and_restarts(tmp_path):
+    cfg = default_config(norb=1, nbath=2, nspin=1, uloc=[2.0], xmu=0.1,
+                         ed_write_files=True, ed_output_dir=str(tmp_path))
+    set_config(cfg)
+    bath = ed.ed_init_solver(cfg=cfg)
+    ed.ed_set_hloc(np.zeros((1, 1, 1, 1)))
+    res = ed.ed_solve(bath)
+    for name in ("observables_last.ed", "observables_info.ed", "energy_last.ed",
+                 "eigenvalues_list.ed", "state_list.ed"):
+        assert (tmp_path / name).exists(), name
+    assert (tmp_path / "state_list.restart").exists()
+    assert (tmp_path / "sectors.restart").exists()
+
+    vals = np.loadtxt(tmp_path / "observables_last.ed")
+    assert abs(vals[0] - res.dens[0]) < 1e-10
+
+    # state_list restart seeds neigen
+    table = SectorTable(cfg)
+    neigen = edio.read_state_list_restart(cfg, table)
+    assert neigen is not None
+    counts_max = neigen.max()
+    assert counts_max >= 1
+
+    # sector restart restricts the sweep and still finds the same GS
+    cfg2 = cfg.replace(ed_sectors=True)
+    set_config(cfg2)
+    bath2 = ed.ed_init_solver(cfg=cfg2)
+    ed.ed_set_hloc(np.zeros((1, 1, 1, 1)))
+    res2 = ed.ed_solve(bath2)
+    assert abs(res2.e0 - res.e0) < 1e-10
+    # restricted sweep visited fewer sectors
+    assert len(res2.diag.evals_by_sector) < len(res.diag.evals_by_sector)
+    ed.ed_finalize_solver()
+
+
+def test_bath_restart_roundtrip(tmp_path):
+    from edipack_tpu.bath.dmft_bath import (bath_to_array, init_bath,
+                                            read_bath_file, save_bath_file)
+    cfg = default_config(norb=2, nbath=3, nspin=2)
+    b = init_bath(cfg)
+    b.e[1, 0] += 0.3
+    path = str(tmp_path / "hamiltonian.restart")
+    save_bath_file(b, path)
+    b2 = init_bath(cfg)
+    read_bath_file(b2, path)
+    assert np.allclose(bath_to_array(b), bath_to_array(b2))
+
+
+def test_gfmatrix_roundtrip(tmp_path):
+    """GFmatrix persistence: re-evaluate dynamical functions without
+    re-solving (reference write/read_GFmatrix)."""
+    from edipack_tpu.solver.greens import GFMatrix
+    gf = GFMatrix()
+    gf.add(("g", 0, 0, 0), np.array([0.5, 0.25 + 0.1j]), np.array([1.0, -2.0]))
+    gf.add(("ph",), np.array([0.3]), np.array([0.7]))
+    path = str(tmp_path / "gfmatrix.npz")
+    gf.save(path)
+    gf2 = GFMatrix.load(path)
+    z = 1j * np.linspace(0.1, 3, 7)
+    assert np.allclose(gf.eval(("g", 0, 0, 0), z), gf2.eval(("g", 0, 0, 0), z))
+    assert np.allclose(gf.eval(("ph",), z), gf2.eval(("ph",), z))
+
+
+def test_xmu_restart(tmp_path):
+    cfg = default_config(ed_output_dir=str(tmp_path))
+    edio.write_xmu_restart(cfg, 0.37, 0.05)
+    xmu, nd = edio.read_xmu_restart(cfg)
+    assert xmu == pytest.approx(0.37)
+    assert nd == pytest.approx(0.05)
