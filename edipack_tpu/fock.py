@@ -47,16 +47,20 @@ def enumerate_states(ns: int, n: int) -> np.ndarray:
     """All ``ns``-bit integers with popcount ``n``, ascending (int64).
 
     The ascending order matches the reference sector maps built by upward
-    popcount scan (ED_SECTOR.f90 build_sector:165-373).
-    """
+    popcount scan (ED_SECTOR.f90 build_sector:165-373). Uses the native
+    C++ Gosper enumeration when built (edipack_tpu/native)."""
     if n < 0 or n > ns:
         return np.empty(0, dtype=np.int64)
     if n == 0:
         return np.zeros(1, dtype=np.int64)
+    from . import native
+    st = native.enum_states(ns, n) if native.available() else None
+    if st is not None:
+        return st
     if ns <= 20:
         allst = np.arange(1 << ns, dtype=np.int64)
         return allst[popcount(allst) == n]
-    # Gosper's-hack-free recursive enumeration for wide registers:
+    # recursive enumeration for wide registers (NumPy fallback):
     # states(ns, n) = states(ns-1, n) ++ (states(ns-1, n-1) | top_bit)
     lo = enumerate_states(ns - 1, n)
     hi = enumerate_states(ns - 1, n - 1) | (np.int64(1) << np.int64(ns - 1))

@@ -269,7 +269,9 @@ class SectorTable:
         """True for sectors to be diagonalized when ed_twin is on
         (reference setup_global twin_mask, ED_SETUP.f90:592-603)."""
         mask = np.ones(len(self), dtype=bool)
-        if not self.cfg.ed_twin:
+        if not self.cfg.ed_twin or self.cfg.ed_mode != "normal":
+            # joint modes re-diagonalize both twins (reconstruction would
+            # need a signed joint-state permutation; cheap enough to skip)
             return mask
         for i in range(len(self)):
             j = self.twin_of(i)

@@ -132,12 +132,20 @@ def diagonalize(cfg: EDConfig, table: SectorTable,
     if len(sl) == 0:
         raise RuntimeError("no eigenstates found (all sectors empty?)")
 
-    # ---- twin reconstruction (bookkeeping only: energies duplicated) --
-    if cfg.ed_twin:
+    # ---- twin reconstruction (reference twin_sector_order,
+    # ED_SECTOR.f90:1747-1843). Normal mode: the twin (Ndw,Nup) state is the
+    # transpose of V[ph, dw, up] (per-spin convention — spin-label swap).
+    # Joint modes: reconstruction needs a signed state permutation; sectors
+    # were already skipped only for the normal mode (twin_mask), joint modes
+    # diagonalize both twins.
+    if cfg.ed_twin and cfg.ed_mode == "normal":
         for st in list(sl.states):
             j = table.twin_of(st.sector)
-            if j != st.sector:
-                sl.add(EigenState(st.energy, j, st.vector, twin_of=st.sector))
+            if j != st.sector and not twin_mask[j]:
+                sec = table.sector(st.sector)
+                v3 = jnp.reshape(st.vector, (sec.dim_ph, sec.dim_dw, sec.dim_up))
+                vt = jnp.swapaxes(v3, 1, 2).reshape(-1)
+                sl.add(EigenState(st.energy, j, vt, twin_of=st.sector))
                 if st.sector in evals_by_sector:
                     evals_by_sector[j] = evals_by_sector[st.sector]
 
