@@ -164,6 +164,13 @@ def build_normal_sector_op(cfg: EDConfig, sec: Sector, hloc: np.ndarray,
     mf = um.mf_hloc
     h_up_imp = np.real(hloc[0, 0] + mf[0, 0])
     h_dw_imp = np.real(hloc[isdw, isdw] + mf[1, 1])
+    if not cfg.ed_total_ud:
+        offdiag_sources = [h_up_imp - np.diag(np.diag(h_up_imp)),
+                           h_dw_imp - np.diag(np.diag(h_dw_imp)),
+                           np.asarray(cfg.exc_field)]
+        if any(np.any(np.abs(x) > 1e-13) for x in offdiag_sources):
+            raise ValueError("ed_total_ud=False requires orbital-diagonal "
+                             "Hloc and no exc_field (per-orbital N conservation)")
     if np.any(np.abs(mf[0, 1]) > 1e-13) or np.any(np.abs(mf[1, 0]) > 1e-13):
         raise ValueError("mean-field Hloc cannot have spin mixing in normal mode")
 

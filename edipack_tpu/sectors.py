@@ -175,8 +175,13 @@ class SectorTable:
                 ups = [enumerate_states(d.ns, nups[0])]
                 dws = [enumerate_states(d.ns, ndws[0])]
             else:
-                ups = [enumerate_states(d.ns_orb, n) for n in nups]
-                dws = [enumerate_states(d.ns_orb, n) for n in ndws]
+                # ed_total_ud=False: per-orbital conserved counts. Build the
+                # combined global bitset basis (sorted) from the product of
+                # per-orbital registers mapped through the level layout
+                # (reference Orbs/ include trees + breorder,
+                # ED_AUX_FUNX.f90:411-437).
+                ups = [self._orbital_product_basis(nups)]
+                dws = [self._orbital_product_basis(ndws)]
             return Sector(i, "normal", qn, d.ns, d.dim_ph,
                           up_states=ups, dw_states=dws)
         if cfg.ed_mode == "superc":
@@ -199,6 +204,25 @@ class SectorTable:
                                  enumerate_states(d.ns, ndw), d.ns))
         states = np.sort(np.concatenate(blocks)) if blocks else np.empty(0, np.int64)
         return Sector(i, "nonsu2", qn, d.ns, d.dim_ph, states=states)
+
+    def _orbital_product_basis(self, counts) -> np.ndarray:
+        """Global one-spin bitsets with orbital-a register holding counts[a]
+        particles. Local register of orbital a: bit 0 = impurity level a,
+        bits 1..Nbath = its bath levels (bath_level layout)."""
+        from .fock import bath_level
+        cfg = self.cfg
+        d = self.dims
+        out = np.zeros(1, dtype=np.int64)
+        for a, n_a in enumerate(counts):
+            local = enumerate_states(d.ns_orb, n_a)
+            # map local bits to global positions
+            glob = np.zeros(len(local), dtype=np.int64)
+            for b in range(d.ns_orb):
+                pos = a if b == 0 else bath_level(cfg.bath_type, cfg.norb,
+                                                  cfg.nbath, a, b - 1)
+                glob |= (((local >> np.int64(b)) & 1) << np.int64(pos))
+            out = (out[:, None] | glob[None, :]).ravel()
+        return np.sort(out)
 
     # ------------------------------------------------------------------
     def get_dim(self, i: int) -> int:

@@ -79,19 +79,18 @@ def build_chi_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
                                          occ_d[:, a] + occ_d[:, b])
                     hermitian_channel(("dens_aux", a, b), phi)
         if cfg.chipair_flag:
-            # O = c_a↑ c_a↓ : target sector (nup-1, ndw-1)
-            jsec = table.c_sector(st.sector, 0)
-            if jsec is not None:
-                jsec2 = table.c_sector(jsec, 1)
-            else:
-                jsec2 = None
-            if jsec2 is not None:
-                tsec = table.sector(jsec2)
-                isec_mid = table.sector(jsec)
-                de_t = dense_eig_cache(jsec2)
-                mv_t = None if de_t is not None else matvec_builder(tsec)
-                mt = min(cfg.lanc_ngfiter, max(2, tsec.dim))
-                for a in range(norb):
+            per_orb = not cfg.ed_total_ud
+            for a in range(norb):
+                iud = a if per_orb else 0
+                # "lesser" O = c_a↑ c_a↓ -> poles +dE (ED_CHI_PAIR.f90:128-140)
+                jsec = table.c_sector(st.sector, 0, iud)
+                jsec2 = table.c_sector(jsec, 1, iud) if jsec is not None else None
+                if jsec2 is not None:
+                    tsec = table.sector(jsec2)
+                    isec_mid = table.sector(jsec)
+                    de_t = dense_eig_cache(jsec2)
+                    mv_t = None if de_t is not None else matvec_builder(tsec)
+                    mt = min(cfg.lanc_ngfiter, max(2, tsec.dim))
                     m1 = spin_axis_op(sec.ups, isec_mid.ups, ns, "c", a, 2)
                     m2 = spin_axis_op(isec_mid.dws, tsec.dws, ns, "c", a, 1)
                     phi = m2.apply(m1.apply(v3))
@@ -99,16 +98,15 @@ def build_chi_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
                                                 dense_eig=de_t)
                     if len(wts):
                         chi.add(("pair", a, a), w[ist] * wts, en - ei)
-                # conjugate (c†c†) channel with -(En-Ei) poles
-            ksec = table.cdg_sector(st.sector, 0)
-            ksec2 = table.cdg_sector(ksec, 1) if ksec is not None else None
-            if ksec2 is not None:
-                tsec = table.sector(ksec2)
-                isec_mid = table.sector(ksec)
-                de_t = dense_eig_cache(ksec2)
-                mv_t = None if de_t is not None else matvec_builder(tsec)
-                mt = min(cfg.lanc_ngfiter, max(2, tsec.dim))
-                for a in range(norb):
+                # "greater" c†_a↓ c†_a↑ -> poles -dE (:145-155)
+                ksec = table.cdg_sector(st.sector, 0, iud)
+                ksec2 = table.cdg_sector(ksec, 1, iud) if ksec is not None else None
+                if ksec2 is not None:
+                    tsec = table.sector(ksec2)
+                    isec_mid = table.sector(ksec)
+                    de_t = dense_eig_cache(ksec2)
+                    mv_t = None if de_t is not None else matvec_builder(tsec)
+                    mt = min(cfg.lanc_ngfiter, max(2, tsec.dim))
                     m1 = spin_axis_op(sec.ups, isec_mid.ups, ns, "cdg", a, 2)
                     m2 = spin_axis_op(isec_mid.dws, tsec.dws, ns, "cdg", a, 1)
                     phi = m2.apply(m1.apply(v3))

@@ -130,7 +130,10 @@ def build_gf_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
     gf = GFMatrix()
     weights = sl.boltzmann_weights()
     norb, nspin = cfg.norb, cfg.nspin
-    offdiag = cfg.ed_solve_offdiag_gf or cfg.bath_type != "normal"
+    per_orbital_qn = not cfg.ed_total_ud
+    # per-orbital QNs forbid inter-orbital mixing -> G_ab(a!=b) = 0 exactly
+    offdiag = (cfg.ed_solve_offdiag_gf or cfg.bath_type != "normal") \
+        and not per_orbital_qn
 
     # aux store for off-diagonal reconstruction
     aux = GFMatrix()
@@ -146,31 +149,36 @@ def build_gf_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
             basis_src = sec.ups if ispin == 0 else sec.dws
             # --- particle (c†) and hole (c) target sectors
             for sgn_kind, kind in ((+1, "cdg"), (-1, "c")):
-                jsec = (table.cdg_sector(isec, ispin) if kind == "cdg"
-                        else table.c_sector(isec, ispin))
-                if jsec is None:
-                    continue
-                tsec = table.sector(jsec)
-                basis_tgt = tsec.ups if ispin == 0 else tsec.dws
-                dim_t = tsec.dim
-                dense_eig = dense_eig_cache(jsec)
-                mv = None if dense_eig is not None else matvec_builder(tsec)
-                m = min(cfg.lanc_ngfiter, max(2, dim_t))
-
-                phis = {}
+                jsec_of = {}
                 for a in range(norb):
+                    iud = a if per_orbital_qn else 0
+                    jsec_of[a] = (table.cdg_sector(isec, ispin, iud)
+                                  if kind == "cdg"
+                                  else table.c_sector(isec, ispin, iud))
+                phis = {}
+                targets = {}
+                for a in range(norb):
+                    if jsec_of[a] is None:
+                        continue
+                    tsec = table.sector(jsec_of[a])
+                    basis_tgt = tsec.ups if ispin == 0 else tsec.dws
                     amap = spin_axis_op(basis_src, basis_tgt, sec.ns, kind, a,
                                         axis)
                     phis[a] = amap.apply(v3).reshape(-1)
-                combos = [(a, a) for a in range(norb)]
+                    targets[a] = tsec
+                combos = [(a, a) for a in range(norb) if a in phis]
                 if offdiag:
                     combos += [(a, b) for a in range(norb)
-                               for b in range(a + 1, norb)]
+                               for b in range(a + 1, norb)
+                               if a in phis and b in phis]
                 for (a, b) in combos:
                     phi = phis[a] if a == b else (phis[a] + phis[b])
-                    w, en = _moments_from_phi(
-                        mv if mv is not None else None, phi, m,
-                        dense_eig=dense_eig)
+                    jsec = jsec_of[a]
+                    dense_eig = dense_eig_cache(jsec)
+                    mv = None if dense_eig is not None \
+                        else matvec_builder(targets[a])
+                    m = min(cfg.lanc_ngfiter, max(2, targets[a].dim))
+                    w, en = _moments_from_phi(mv, phi, m, dense_eig=dense_eig)
                     if len(w) == 0:
                         continue
                     poles = sgn_kind * (en - ei)
