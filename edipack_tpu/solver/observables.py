@@ -236,6 +236,14 @@ def compute_observables_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
             obs.ehartree += w[ist] * eh
 
     obs.epot = obs.eint + obs.ehartree
-    if cfg.nspin == 1 and with_sp_dm:
-        pass  # up component stored; dw identical by symmetry
+    # exciton order parameters <c†_{a s} sigma^i_{ss'} c_{b s'}> over the
+    # impurity block (reference nonsu2 exciton S0/Tz; Tx/Ty need spin
+    # mixing and vanish identically in the normal mode)
+    if with_sp_dm:
+        dm_up = obs.sp_dm[0, :norb, :norb]
+        dm_dw = obs.sp_dm[cfg.nspin - 1, :norb, :norb] if cfg.nspin > 1 \
+            else dm_up
+        obs.exct = np.zeros((4, norb, norb))
+        obs.exct[0] = np.real(dm_up + dm_dw)      # S0
+        obs.exct[3] = np.real(dm_up - dm_dw)      # Tz
     return obs
