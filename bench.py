@@ -71,12 +71,15 @@ def main():
         v = jax.random.normal(key, (mv.dim,), dtype=jnp.float32).astype(dtype)
         v = v / jnp.linalg.norm(v)
         w = call(v)
-        w.block_until_ready()          # compile + warmup
+        _ = float(jnp.vdot(w, w))      # compile + warmup + full roundtrip
         n_iter = 20 if label == "f32" else 5
+        # time with a host-fetched scalar at the end: block_until_ready on a
+        # remote (tunneled) array can return before execution completes, so
+        # force a data dependency through to the host
         t0 = time.time()
         for _ in range(n_iter):
             v = call(v)
-        v.block_until_ready()
+        _ = float(jnp.vdot(v, v))
         dt = (time.time() - t0) / n_iter
         results[label] = dt
         print(f"[bench] {label}: {dt*1e3:.3f} ms/matvec  "
