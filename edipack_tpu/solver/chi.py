@@ -115,6 +115,75 @@ def build_chi_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
                     if len(wts):
                         chi.add(("pair", a, a), w[ist] * wts, -(en - ei))
 
+        if cfg.chiexct_flag and norb > 1 and cfg.ed_total_ud:
+            # exciton susceptibilities (ED_CHI_EXCT.f90): for a<b
+            #   singlet  E_S  = Σ_σ c†_{aσ} c_{bσ}         (within sector)
+            #   triplet0 E_Tz = Σ_σ σ c†_{aσ} c_{bσ}       (within sector)
+            #   triplet± flip: c†_{a,dw} c_{b,up} etc.     (±1 spin-flip sector)
+            # each as lesser (O, +dE) / greater (O†, -dE) channels
+            from ..fock import hop_elements
+
+            def hop_axis_apply(basis, a, b, axis):
+                """Apply c†_a c_b (within-sector hop) along one spin axis."""
+                rows, cols, signs = hop_elements(np.asarray(basis), ns, a, b)
+                src = np.full(len(basis), -1, np.int64)
+                sgn = np.zeros(len(basis))
+                src[rows] = cols
+                sgn[rows] = signs
+                srcj = jnp.asarray(np.where(src < 0, 0, src), jnp.int32)
+                sgnj = jnp.asarray(np.where(src < 0, 0.0, sgn), v3.dtype)
+                out = jnp.take(v3, srcj, axis=axis)
+                shape = [1, 1, 1]
+                shape[axis] = -1
+                return out * sgnj.reshape(shape)
+
+            def bilinear_within(a, b, s_up, s_dw):
+                return s_up * hop_axis_apply(sec.ups, a, b, 2) \
+                    + s_dw * hop_axis_apply(sec.dws, a, b, 1)
+
+            for a in range(norb):
+                for b in range(a + 1, norb):
+                    for key, s_dw in (("exct_s", 1.0), ("exct_tz", -1.0)):
+                        phi_l = bilinear_within(a, b, 1.0, s_dw)
+                        phi_g = bilinear_within(b, a, 1.0, s_dw)
+                        for phi, sgn in ((phi_l, +1), (phi_g, -1)):
+                            wts, en = _moments_from_phi(
+                                mv, phi.reshape(-1), m, dense_eig=dense_eig)
+                            if len(wts):
+                                chi.add((key, a, b), w[ist] * wts,
+                                        sgn * (en - ei))
+                    # spin-flip (triplet Tx/Ty-like): c†_{a,dw} c_{b,up}
+                    ks = table.c_sector(st.sector, 0)
+                    js = table.cdg_sector(ks, 1) if ks is not None else None
+                    if js is not None:
+                        tsec = table.sector(js)
+                        ksec_mid = table.sector(ks)
+                        m1 = spin_axis_op(sec.ups, ksec_mid.ups, ns, "c", b, 2)
+                        m2 = spin_axis_op(ksec_mid.dws, tsec.dws, ns, "cdg", a, 1)
+                        phi = m2.apply(m1.apply(v3))
+                        de_t = dense_eig_cache(js)
+                        mv_t = None if de_t is not None else matvec_builder(tsec)
+                        mt = min(cfg.lanc_ngfiter, max(2, tsec.dim))
+                        wts, en = _moments_from_phi(mv_t, phi.reshape(-1), mt,
+                                                    dense_eig=de_t)
+                        if len(wts):
+                            chi.add(("exct_t", a, b), w[ist] * wts, en - ei)
+                    ks = table.c_sector(st.sector, 1)
+                    js = table.cdg_sector(ks, 0) if ks is not None else None
+                    if js is not None:
+                        tsec = table.sector(js)
+                        ksec_mid = table.sector(ks)
+                        m1 = spin_axis_op(sec.dws, ksec_mid.dws, ns, "c", b, 1)
+                        m2 = spin_axis_op(ksec_mid.ups, tsec.ups, ns, "cdg", a, 0 + 2)
+                        phi = m2.apply(m1.apply(v3))
+                        de_t = dense_eig_cache(js)
+                        mv_t = None if de_t is not None else matvec_builder(tsec)
+                        mt = min(cfg.lanc_ngfiter, max(2, tsec.dim))
+                        wts, en = _moments_from_phi(mv_t, phi.reshape(-1), mt,
+                                                    dense_eig=de_t)
+                        if len(wts):
+                            chi.add(("exct_t", a, b), w[ist] * wts, -(en - ei))
+
     # reconstruct symmetric off-diagonals: χ_ab = (χ_aux - χ_aa - χ_bb)/2
     for kind in ("spin", "dens"):
         for a in range(norb):

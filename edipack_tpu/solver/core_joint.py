@@ -326,6 +326,17 @@ def compute_observables_joint(cfg: EDConfig, table: SectorTable, sl: StateList,
                     eh += -0.5 * (um.ust[a, b] + um.ustp[a, b]) * (ntot[a] + ntot[b]) \
                         + 0.5 * (um.ust[a, b] + um.ustp[a, b])
             obs.ehartree += w[ist] * eh
+        # nonsu2 in-plane magnetization: 2<Sx_a>, 2<Sy_a>
+        if cfg.ed_mode == "nonsu2":
+            for a in range(norb):
+                acc = JointTermAccumulator(sec.states, ns)
+                acc.add_opstring([("c", a, SPIN_DW), ("cdg", a, SPIN_UP)], 1.0)
+                rows, cols, vals = acc.coo()
+                sud = 0.0 + 0j
+                for p in range(sec.dim_ph):
+                    sud += np.sum(np.conj(v2[p, rows]) * vals * v2[p, cols])
+                obs.mag[0, a] += w[ist] * 2.0 * np.real(sud)
+                obs.mag[1, a] += w[ist] * (-2.0) * np.imag(sud)
         # superc order parameter phi_ab = <c_{b,up} c_{a,dw}>
         if cfg.ed_mode == "superc":
             vj = jnp.asarray(v2)
@@ -403,6 +414,11 @@ def solve_impurity_joint(cfg: EDConfig, hloc, um: Umatrix, bath: DmftBath,
     obs = compute_observables_joint(cfg, table, diag.state_list, hloc, um,
                                     op_cache)
 
+    rdm = None
+    if cfg.rdm_flag:
+        from .rdm import impurity_rdm_joint
+        rdm = impurity_rdm_joint(cfg, table, diag.state_list)
+
     return SolveResult(cfg=cfg, table=table, diag=diag, gf=gf, obs=obs,
                        bath=bath.copy(), hloc=np.asarray(hloc), um=um,
-                       hloc_anomalous=hloc_anomalous)
+                       rdm=rdm, hloc_anomalous=hloc_anomalous)

@@ -56,3 +56,41 @@ def impurity_rdm_normal(cfg: EDConfig, table: SectorTable,
 def _pack(rho4: np.ndarray, nimp: int) -> np.ndarray:
     """(iu, id, ju, jd) -> [iu + nimp*id, ju + nimp*jd]."""
     return rho4.transpose(1, 0, 3, 2).reshape(nimp * nimp, nimp * nimp)
+
+
+def impurity_rdm_joint(cfg: EDConfig, table: SectorTable,
+                       sl: StateList) -> np.ndarray:
+    """RDM for superc/nonsu2 joint bases (reference ED_RDM_SUPERC/NONSU2).
+
+    Joint bit layout: [imp_up | bath_up | imp_dw | bath_dw]. Factorizing into
+    |imp⟩⊗|bath⟩ (imp = imp_up,imp_dw first) commutes the imp_dw creation
+    operators past the bath_up ones: amplitude picks up
+    (-1)^{n(imp_dw)·n(bath_up)}. Pairing (superc) makes the RDM
+    particle-number OFF-diagonal, so the sign must be carried explicitly."""
+    norb = cfg.norb
+    ns = table.dims.ns
+    nb_bits = ns - norb
+    nimp = 1 << norb
+    imp_mask = np.int64(nimp - 1)
+    bath_mask = np.int64((1 << nb_bits) - 1)
+    w = sl.boltzmann_weights()
+    rho = np.zeros((nimp * nimp, nimp * nimp), dtype=complex)
+    from ..fock import popcount
+
+    for ist, st in enumerate(sl):
+        sec = table.sector(st.sector)
+        states = sec.states
+        iu = (states & imp_mask).astype(np.int64)
+        bu = ((states >> np.int64(norb)) & bath_mask).astype(np.int64)
+        idn = ((states >> np.int64(ns)) & imp_mask).astype(np.int64)
+        bd = ((states >> np.int64(ns + norb)) & bath_mask).astype(np.int64)
+        sign = 1.0 - 2.0 * ((popcount(idn) * popcount(bu)) % 2)
+        bath_key = bu | (bd << np.int64(nb_bits))
+        uniq, brank = np.unique(bath_key, return_inverse=True)
+        impi = (iu + nimp * idn).astype(np.int64)
+        v2 = np.asarray(st.vector).reshape(sec.dim_ph, sec.dim_el)
+        for p in range(sec.dim_ph):
+            wmat = np.zeros((nimp * nimp, len(uniq)), dtype=complex)
+            wmat[impi, brank] = sign * v2[p]
+            rho += w[ist] * (wmat @ wmat.conj().T)
+    return rho

@@ -116,3 +116,87 @@ def test_nonsu2_gf_exact_with_mixing():
                    / (z[:, None] + de[None, :])).sum(1)
             assert np.allclose(g_eng[s1, s2, 0, 0], g_exact, atol=1e-8), \
                 (s1, s2, np.abs(g_eng[s1, s2, 0, 0] - g_exact).max())
+
+
+def test_nonsu2_inplane_magnetization_and_rdm():
+    cfg = default_config(norb=1, nbath=1, nspin=2, ed_mode="nonsu2",
+                         uloc=[1.0], xmu=0.05, spin_field_x=[0.3],
+                         spin_field_y=[0.2], rdm_flag=True)
+    um = build_umatrix(cfg)
+    bath = init_bath(cfg)
+    bath.u[:] = 0.1
+    hloc = np.zeros((2, 2, 1, 1), complex)
+    res = solve_impurity(cfg, hloc, um, bath)
+
+    from oracle import FockOracle, oracle_nonsu2_hamiltonian
+    orc = FockOracle(2, convention="joint")
+    h = oracle_nonsu2_hamiltonian(orc, cfg, hloc, um, bath)
+    evals, evecs = np.linalg.eigh(h.toarray())
+    deg = np.nonzero(evals - evals[0] <= 1e-9)[0]
+    sud_op = (orc.cdg(0, 0) @ orc.c(0, 1)).toarray()
+    mx = my = 0.0
+    for g in deg:
+        psi = evecs[:, g]
+        sud = psi.conj() @ (sud_op @ psi)
+        mx += 2 * np.real(sud) / len(deg)
+        my += 2 * np.imag(sud) / len(deg)
+    assert abs(res.mag[0][0] - mx) < 1e-8, (res.mag[0][0], mx)
+    assert abs(abs(res.mag[1][0]) - abs(my)) < 1e-8, (res.mag[1][0], my)
+
+    # joint RDM invariants
+    rho = res.get_rdm()
+    assert np.allclose(rho, rho.conj().T, atol=1e-10)
+    assert abs(np.trace(rho).real - 1.0) < 1e-10
+    assert np.all(np.linalg.eigvalsh(rho) > -1e-12)
+    # diagonal consistency with densities
+    nup_rdm = sum(rho[i, i].real for i in range(4) if i & 1)
+    assert abs(nup_rdm - res.obs.dens_up[0]) < 1e-8
+
+
+def test_superc_rdm_pair_coherence():
+    """Superc RDM: the |00>-|ud> off-diagonal equals the on-impurity pair
+    amplitude (with the bath traced out)."""
+    cfg = default_config(norb=1, nbath=1, nspin=1, ed_mode="superc",
+                         uloc=[-1.0], xmu=0.0, rdm_flag=True, deltasc=0.3)
+    um = build_umatrix(cfg)
+    bath = init_bath(cfg)
+    bath.d[0, 0] = [0.4]
+    hloc = np.zeros((1, 1, 1, 1))
+    res = solve_impurity(cfg, hloc, um, bath)
+    rho = res.get_rdm()
+    assert np.allclose(rho, rho.conj().T, atol=1e-10)
+    assert abs(np.trace(rho).real - 1.0) < 1e-10
+    # |0><ud| coherence: index 0 = empty, index 3 = up+dw occupied
+    coher = rho[0, 3]
+    assert abs(coher) > 1e-3   # pairing induces particle-number coherence
+    # oracle check via isometry embedding |I,b> = ordered creation ops |0>
+    from oracle import FockOracle, oracle_superc_hamiltonian
+    orc = FockOracle(2, convention="joint")
+    h = oracle_superc_hamiltonian(orc, cfg, hloc, um, bath)
+    evals, evecs = np.linalg.eigh(h.toarray())
+    deg = np.nonzero(evals - evals[0] <= 1e-9)[0]
+    # build embedding vectors: imp levels {0 (up), ns+0 (dw)}, bath {1, ns+1}
+    ns = 2
+    def embed(iu, idn, bu, bd):
+        ops = []
+        # imp ops first (up then dw), then bath ops (up then dw)
+        if iu: ops.append(("cdg", 0, 0))
+        if idn: ops.append(("cdg", 0, 1))
+        if bu: ops.append(("cdg", 1, 0))
+        if bd: ops.append(("cdg", 1, 1))
+        vac = np.zeros(orc.dim); vac[0] = 1.0
+        m = orc.opstring(list(reversed(ops)))  # rightmost applies first
+        return m @ vac
+    rho_or = np.zeros((4, 4), complex)
+    for g in deg:
+        psi = evecs[:, g]
+        for I, (iu, idn) in enumerate([(0, 0), (1, 0), (0, 1), (1, 1)]):
+            for J, (ju, jd) in enumerate([(0, 0), (1, 0), (0, 1), (1, 1)]):
+                for bu in (0, 1):
+                    for bd in (0, 1):
+                        vi = embed(iu, idn, bu, bd)
+                        vj = embed(ju, jd, bu, bd)
+                        rho_or[I, J] += (vi @ psi) * np.conj(vj @ psi) / len(deg)
+    # note rho index convention: I = iu + 2*id
+    assert np.allclose(rho, rho_or.conj() if False else rho_or, atol=1e-9), \
+        np.abs(rho - rho_or).max()
