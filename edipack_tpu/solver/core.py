@@ -196,9 +196,23 @@ def solve_impurity(cfg: EDConfig, hloc: np.ndarray, um: Umatrix,
             op_cache[sec.index] = build_normal_sector_op(cfg, sec, hloc, um, bath)
         return op_cache[sec.index]
 
+    # multi-chip: shard the dw axis of large sectors over the device mesh
+    # (the reference's MPI row split, ED_HAMILTONIAN_NORMAL.f90:129-142)
+    import jax as _jax
+    _ndev = len(_jax.devices())
+    _mesh = None
+    if _ndev > 1:
+        from ..parallel.mesh import make_mesh
+        _mesh = make_mesh(sec_axis=1)
+
     def matvec_builder(sec: Sector) -> KronMatvec:
         if sec.index not in mv_cache:
-            mv_cache[sec.index] = KronMatvec(get_op(sec), dtype=dtype)
+            mv = KronMatvec(get_op(sec), dtype=dtype)
+            if (_mesh is not None and sec.dim > 4 * cfg.lanc_dim_threshold
+                    and sec.dim_dw % _ndev == 0):
+                from ..parallel.mesh import shard_kron_matvec
+                mv = shard_kron_matvec(mv, _mesh)
+            mv_cache[sec.index] = mv
         return mv_cache[sec.index]
 
     def dense_builder(sec: Sector) -> np.ndarray:

@@ -1,0 +1,35 @@
+"""Sharded (multi-device) sector matvec inside the real solver: same physics
+as single-device, on the virtual 8-CPU mesh."""
+import jax
+import numpy as np
+import pytest
+
+from edipack_tpu.config import default_config
+from edipack_tpu.bath.dmft_bath import init_bath
+from edipack_tpu.solver.core import solve_impurity
+from edipack_tpu.umatrix import build_umatrix
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
+def test_sharded_matches_single():
+    # Ns=8: largest sector (4,4) has dim 70*70=4900 > 4*1024? No ->
+    # lower the dense threshold so big sectors go through the sharded Lanczos
+    base = dict(norb=1, nbath=7, nspin=1, uloc=[2.0], xmu=0.2, beta=100.0,
+                lmats=16, lanc_dim_threshold=256)
+    cfg = default_config(**base)
+    um = build_umatrix(cfg)
+    bath = init_bath(cfg)
+    hloc = np.zeros((1, 1, 1, 1))
+    res = solve_impurity(cfg, hloc, um, bath)   # sharded (8 devices visible)
+
+    # single-device reference: raise threshold so everything is dense
+    cfg_d = default_config(**{**base, "lanc_dim_threshold": 8192})
+    res_d = solve_impurity(cfg_d, hloc, um, bath)
+
+    assert abs(res.e0 - res_d.e0) < 1e-9
+    assert np.allclose(res.dens, res_d.dens, atol=1e-7)
+    z = 1j * (2 * np.arange(16) + 1) * np.pi / cfg.beta
+    g = res.get_gimp(z)[0, 0, 0, 0]
+    g_d = res_d.get_gimp(z)[0, 0, 0, 0]
+    assert np.allclose(g, g_d, atol=1e-6), np.abs(g - g_d).max()
