@@ -373,3 +373,35 @@ def oracle_nonsu2_hamiltonian(orc: FockOracle, cfg, hloc, um, bath):
     for t in um.sundry:
         h = h + t.coeff * orc.opstring([(k, o, s) for (k, o, s) in t.ops])
     return h
+
+
+def oracle_superc_replica_bath(orc: FockOracle, cfg, bath):
+    """Nambu replica-bath terms: H_k = Ψ† Hn_k Ψ with Ψ=(d_up, d†_dw),
+    Hn blocks (h00, h01; h10, h11); the constant Σ h11_ii is dropped
+    (reference does the same through its cc† handling)."""
+    import numpy as np
+    from edipack_tpu.fock import bath_level
+    h = sp.csr_matrix((orc.dim, orc.dim), dtype=complex)
+    hb = bath.hbath()
+    norb, nbath = cfg.norb, cfg.nbath
+    for k in range(nbath):
+        for i in range(norb):
+            for j in range(norb):
+                li = bath_level(cfg.bath_type, norb, nbath, i, k)
+                lj = bath_level(cfg.bath_type, norb, nbath, j, k)
+                h00 = hb[k, 0, 0, i, j]
+                h01 = hb[k, 0, 1, i, j]
+                h10 = hb[k, 1, 0, i, j]
+                h11 = hb[k, 1, 1, i, j]
+                if h00 != 0:
+                    h = h + h00 * (orc.cdg(li, 0) @ orc.c(lj, 0))
+                if h01 != 0:
+                    h = h + h01 * (orc.cdg(li, 0) @ orc.cdg(lj, 1))
+                if h10 != 0:
+                    h = h + h10 * (orc.c(li, 1) @ orc.c(lj, 0))
+                if h11 != 0:
+                    if i == j:
+                        h = h - h11 * orc.n(li, 1)
+                    else:
+                        h = h - h11 * (orc.cdg(lj, 1) @ orc.c(li, 1))
+    return h

@@ -126,3 +126,71 @@ def test_superc_anomalous_gf_exact():
     # order parameter phi = <c_up c_dw>... engine convention |<c_bup c_adw>|
     phi_exact = psi.conj() @ (cu @ (cd @ psi))
     assert abs(res.obs.phisc[0, 0] - abs(phi_exact)) < 1e-8
+
+
+def test_superc_replica_bath_vs_oracle():
+    from edipack_tpu.bath.replica import make_basis
+    from oracle import oracle_superc_replica_bath
+
+    norb, nbath = 1, 2
+    cfg = default_config(norb=norb, nbath=nbath, nspin=1, ed_mode="superc",
+                         bath_type="replica", uloc=[1.2], xmu=0.1)
+    # Nambu basis ops: identity tau3-like level + pairing tau1
+    o1 = np.zeros((2, 2, 1, 1), complex)
+    o1[0, 0, 0, 0] = 1.0
+    o1[1, 1, 0, 0] = -1.0     # h, -h^T structure
+    o2 = np.zeros((2, 2, 1, 1), complex)
+    o2[0, 1, 0, 0] = 1.0
+    o2[1, 0, 0, 0] = 1.0      # pairing
+    basis = make_basis(np.stack([o1, o2]),
+                       np.array([[0.5, 0.3], [-0.4, 0.25]]))
+    um = build_umatrix(cfg)
+    bath = init_bath(cfg, basis=basis)
+    hloc = np.zeros((1, 1, 1, 1))
+
+    table = SectorTable(cfg)
+    ns = table.dims.ns
+    orc = FockOracle(ns, convention="joint")
+    # full oracle: impurity+interaction+hyb from the normal/hybrid superc
+    # oracle with bath levels zeroed, plus the replica-specific bath terms
+    import copy
+    bath_nb = copy.deepcopy(bath)
+    href = oracle_superc_hamiltonian(orc, cfg, hloc, um, _strip_bath(bath_nb)) \
+        + oracle_superc_replica_bath(orc, cfg, bath)
+    for sec in table:
+        if sec.dim == 0:
+            continue
+        idx = orc.sector_indices_sz(sec.qn[1])
+        h_or = orc.project(href, idx)
+        op = build_joint_sector_op(cfg, sec, hloc, um, bath)
+        h_eng = op.to_dense()
+        assert np.allclose(h_eng, h_eng.conj().T, atol=1e-10), sec.qn
+        assert np.allclose(h_eng, h_or, atol=1e-10), \
+            f"sector {sec.qn}: dev {np.abs(h_eng - h_or).max()}"
+
+
+class _BathView:
+    """Bath stand-in with zeroed level/pairing terms but intact hybridization
+    (so the oracle adds only hyb; replica terms come from the dedicated fn)."""
+    def __init__(self, b):
+        self._b = b
+        self.cfg = b.cfg
+        self.is_replica = False
+        self.d = None
+        self.u = None
+
+def _strip_bath(b):
+    import numpy as np
+    from edipack_tpu.bath import dmft_bath as dbm
+    view = _BathView(b)
+    # bath_levels -> zeros ; bath_hyb -> real hyb
+    view_e = np.zeros((2, b.cfg.norb, b.cfg.nbath))
+    hyb = dbm.bath_hyb(b)
+    class _V:
+        cfg = b.cfg
+        is_replica = False
+        d = None
+        u = None
+        e = view_e
+        v = np.broadcast_to(hyb, (b.cfg.nspin, b.cfg.norb, b.cfg.nbath)).copy()
+    return _V()
