@@ -184,6 +184,8 @@ def solve_impurity(cfg: EDConfig, hloc: np.ndarray, um: Umatrix,
                                     sector_mask=sector_mask,
                                     hloc_anomalous=hloc_anomalous)
 
+    from ..utils.timing import PhaseTimer
+    timer = PhaseTimer(verbose=cfg.ed_verbose)
     table = SectorTable(cfg)
     dtype = jnp.float64 if cfg.ed_precision == "float64" else jnp.float32
 
@@ -229,15 +231,18 @@ def solve_impurity(cfg: EDConfig, hloc: np.ndarray, um: Umatrix,
             dense_cache[isec] = (evals, jnp.asarray(evecs))
         return dense_cache[isec]
 
-    diag = diagonalize(cfg, table, matvec_builder, dense_builder,
-                       neigen_override=neigen_override,
-                       sector_mask=sector_mask)
+    with timer.phase("diagonalization"):
+        diag = diagonalize(cfg, table, matvec_builder, dense_builder,
+                           neigen_override=neigen_override,
+                           sector_mask=sector_mask)
 
-    gf = build_gf_normal(cfg, table, diag.state_list, matvec_builder,
-                         dense_eig_cache, all_g=cfg.ed_all_g)
+    with timer.phase("greens_functions"):
+        gf = build_gf_normal(cfg, table, diag.state_list, matvec_builder,
+                             dense_eig_cache, all_g=cfg.ed_all_g)
 
-    obs = compute_observables_normal(cfg, table, diag.state_list, hloc, um,
-                                     op_cache)
+    with timer.phase("observables"):
+        obs = compute_observables_normal(cfg, table, diag.state_list, hloc,
+                                         um, op_cache)
 
     chi = None
     if cfg.chispin_flag or cfg.chidens_flag or cfg.chipair_flag or cfg.chiexct_flag:
@@ -250,6 +255,8 @@ def solve_impurity(cfg: EDConfig, hloc: np.ndarray, um: Umatrix,
         from .rdm import impurity_rdm_normal
         rdm = impurity_rdm_normal(cfg, table, diag.state_list)
 
-    return SolveResult(cfg=cfg, table=table, diag=diag, gf=gf, obs=obs,
-                       bath=bath.copy(), hloc=np.asarray(hloc), um=um,
-                       chi=chi, rdm=rdm)
+    res = SolveResult(cfg=cfg, table=table, diag=diag, gf=gf, obs=obs,
+                      bath=bath.copy(), hloc=np.asarray(hloc), um=um,
+                      chi=chi, rdm=rdm)
+    res.timings = dict(timer.timings)
+    return res

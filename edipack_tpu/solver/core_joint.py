@@ -400,25 +400,32 @@ def solve_impurity_joint(cfg: EDConfig, hloc, um: Umatrix, bath: DmftBath,
             dense_cache[isec] = (evals, jnp.asarray(evecs))
         return dense_cache[isec]
 
-    diag = diagonalize(cfg, table, matvec_builder, dense_builder,
-                       neigen_override=neigen_override,
-                       sector_mask=sector_mask)
+    from ..utils.timing import PhaseTimer
+    timer = PhaseTimer(verbose=cfg.ed_verbose)
+    with timer.phase("diagonalization"):
+        diag = diagonalize(cfg, table, matvec_builder, dense_builder,
+                           neigen_override=neigen_override,
+                           sector_mask=sector_mask)
 
-    if cfg.ed_mode == "superc":
-        gf = build_gf_superc(cfg, table, diag.state_list, matvec_builder,
-                             dense_eig_cache)
-    else:
-        gf = build_gf_nonsu2(cfg, table, diag.state_list, matvec_builder,
-                             dense_eig_cache)
+    with timer.phase("greens_functions"):
+        if cfg.ed_mode == "superc":
+            gf = build_gf_superc(cfg, table, diag.state_list, matvec_builder,
+                                 dense_eig_cache)
+        else:
+            gf = build_gf_nonsu2(cfg, table, diag.state_list, matvec_builder,
+                                 dense_eig_cache)
 
-    obs = compute_observables_joint(cfg, table, diag.state_list, hloc, um,
-                                    op_cache)
+    with timer.phase("observables"):
+        obs = compute_observables_joint(cfg, table, diag.state_list, hloc, um,
+                                        op_cache)
 
     rdm = None
     if cfg.rdm_flag:
         from .rdm import impurity_rdm_joint
         rdm = impurity_rdm_joint(cfg, table, diag.state_list)
 
-    return SolveResult(cfg=cfg, table=table, diag=diag, gf=gf, obs=obs,
-                       bath=bath.copy(), hloc=np.asarray(hloc), um=um,
-                       rdm=rdm, hloc_anomalous=hloc_anomalous)
+    res = SolveResult(cfg=cfg, table=table, diag=diag, gf=gf, obs=obs,
+                      bath=bath.copy(), hloc=np.asarray(hloc), um=um,
+                      rdm=rdm, hloc_anomalous=hloc_anomalous)
+    res.timings = dict(timer.timings)
+    return res

@@ -1,0 +1,55 @@
+"""Timing/trace subsystem, chemical-potential search, real-axis evaluation."""
+import numpy as np
+
+from edipack_tpu.config import default_config
+from edipack_tpu.bath.dmft_bath import init_bath
+from edipack_tpu.solver.core import solve_impurity
+from edipack_tpu.solver.mu_search import reset_search, search_variable
+from edipack_tpu.umatrix import build_umatrix
+
+
+def _solve(cfg, xmu):
+    um = build_umatrix(cfg.replace(xmu=xmu))
+    bath = init_bath(cfg)
+    return solve_impurity(cfg.replace(xmu=xmu), np.zeros((1, 1, 1, 1)), um, bath)
+
+
+def test_timings_present():
+    cfg = default_config(norb=1, nbath=2, nspin=1, uloc=[2.0])
+    res = _solve(cfg, 0.1)
+    assert "diagonalization" in res.timings
+    assert "greens_functions" in res.timings
+    assert res.timings["diagonalization"] > 0
+
+
+def test_mu_search_converges_to_target_density():
+    # finite T: n(mu) is continuous so any target is attainable (at T=0 the
+    # finite-system density is a staircase)
+    cfg = default_config(norb=1, nbath=2, nspin=1, uloc=[2.0], nread=1.3,
+                         nerr=5e-3, ndelta=0.4, beta=5.0, ed_finite_temp=True,
+                         lanc_nstates_total=64, lanc_nstates_sector=16)
+    reset_search()
+    xmu = 0.0
+    for it in range(40):
+        res = _solve(cfg, xmu)
+        n = float(res.dens[0])
+        xmu_new, conv = search_variable(cfg, xmu, n, False)
+        if abs(cfg.nread - n) < cfg.nerr:
+            break
+        xmu = xmu_new
+    assert abs(n - cfg.nread) < cfg.nerr, (n, xmu)
+
+
+def test_real_axis_evaluation():
+    cfg = default_config(norb=1, nbath=2, nspin=1, uloc=[2.0], xmu=0.1,
+                         lreal=200, wini=-4, wfin=4, eps=0.05)
+    res = _solve(cfg, 0.1)
+    g = res.get_gimp(axis="r")
+    assert g.shape[-1] == cfg.lreal
+    # retarded: Im G(w+i0) < 0 everywhere; spectral weight integrates to ~1
+    w = np.linspace(cfg.wini, cfg.wfin, cfg.lreal)
+    aw = -np.imag(g[0, 0, 0, 0]) / np.pi
+    assert np.all(aw > -1e-10)
+    assert abs(np.trapezoid(aw, w) - 1.0) < 0.05
+    s = res.get_sigma(axis="r")
+    assert np.all(np.imag(s[0, 0, 0, 0]) < 1e-8)  # causal self-energy
