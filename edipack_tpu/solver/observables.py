@@ -51,10 +51,14 @@ class Observables:
     dph: float = 0.0
     # single-particle density matrix (Nspin, Ns, Ns) over imp+bath levels
     sp_dm: np.ndarray = None
+    # 3^Norb impurity configuration probabilities (empty/single/double per
+    # orbital; reference observables_normal Prob array)
+    prob: np.ndarray = None
     # phonons
     ph_x: float = 0.0
     ph_x2: float = 0.0
     ph_n: np.ndarray = None       # occupation distribution (Nph+1,)
+    ph_dm: np.ndarray = None      # phonon density matrix (Nph+1, Nph+1)
 
     @property
     def energies(self) -> np.ndarray:
@@ -68,6 +72,25 @@ class Observables:
     @property
     def imp_info(self) -> np.ndarray:
         return np.array([self.s2tot, self.egs])
+
+
+def phonon_position_pdf(cfg: EDConfig, obs: Observables):
+    """Phonon displacement probability distribution P(x) on the [xmin,xmax]
+    grid (reference lattice PDF, Lpos points): P(x) = Σ_nm ρ^ph_nm ψ_n ψ_m
+    with harmonic-oscillator eigenfunctions in natural units."""
+    x = np.linspace(cfg.xmin, cfg.xmax, cfg.lpos)
+    nmax = cfg.nph
+    # Hermite functions via stable recurrence: h_0 = π^{-1/4} e^{-x²/2},
+    # h_{n+1} = sqrt(2/(n+1)) x h_n - sqrt(n/(n+1)) h_{n-1}
+    h = np.zeros((nmax + 1, len(x)))
+    h[0] = np.pi ** -0.25 * np.exp(-x ** 2 / 2)
+    if nmax >= 1:
+        h[1] = np.sqrt(2.0) * x * h[0]
+    for n in range(1, nmax):
+        h[n + 1] = np.sqrt(2.0 / (n + 1)) * x * h[n] \
+            - np.sqrt(n / (n + 1.0)) * h[n - 1]
+    pdf = np.einsum("nm,nx,mx->x", obs.ph_dm, h, h)
+    return x, pdf
 
 
 def _expect_axis_hop(v3, basis, ns, i, j, axis):
@@ -96,7 +119,9 @@ def compute_observables_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
         docc=np.zeros(norb), mag=np.zeros((3, norb)),
         sz2=np.zeros((norb, norb)), n2=np.zeros((norb, norb)),
         sp_dm=np.zeros((cfg.nspin, ns, ns), dtype=complex) if with_sp_dm else None,
-        ph_n=np.zeros(cfg.nph + 1))
+        prob=np.zeros(3 ** norb),
+        ph_n=np.zeros(cfg.nph + 1),
+        ph_dm=np.zeros((cfg.nph + 1, cfg.nph + 1)))
     obs.egs = sl.e0
 
     ust_nd = um.ust - np.diag(np.diag(um.ust))
@@ -132,6 +157,15 @@ def compute_observables_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
         obs.sz2 += w[ist] * sz2.real
         # S²tot = Sz² + 0.5(S+S- + S-S+); reference s2tot uses <(Σ_a Sz_a)²>
         obs.s2tot += w[ist] * float(sz2.sum().real)
+        # 3^Norb configuration probabilities: per-orbital electron count
+        # class index Σ_a (nup_a + ndw_a) 3^a
+        o_up_i = occ_u[:, :norb].astype(np.int64)
+        o_dw_i = occ_d[:, :norb].astype(np.int64)
+        pows = 3 ** np.arange(norb)
+        cls_up = o_up_i @ pows                 # contribution of up occupancy
+        # joint class over (idw, iup): c_a = nup_a + ndw_a
+        cls = (o_dw_i @ pows)[:, None] + cls_up[None, :]
+        np.add.at(obs.prob, cls.ravel(), w[ist] * pj.ravel())
         # phonon occupation
         if cfg.nph > 0:
             pph = np.einsum("pdu->p", p2)
@@ -146,6 +180,9 @@ def compute_observables_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
             x2 = x @ x
             obs.ph_x2 += w[ist] * np.einsum(
                 "pdu,pq,qdu->", np.conj(v3), x2, v3).real
+            # phonon density matrix (electrons traced out) for the PDF
+            obs.ph_dm += w[ist] * np.einsum("pdu,qdu->pq",
+                                            np.conj(v3), v3).real
         # single-particle density matrix (imp+bath levels)
         if with_sp_dm:
             for i in range(ns):

@@ -115,3 +115,27 @@ def test_rdm_vs_oracle_trace():
     # diagonal consistency: n_up = sum over states with imp_up=1
     nup = rho_or[1, 1] + rho_or[3, 3]
     assert abs(res.dens[0] / 2 - nup) < 1e-8  # nspin=1: dens = 2 n_up
+
+
+def test_configuration_probabilities_and_phonon_pdf():
+    cfg = default_config(norb=2, nbath=1, nspin=1, uloc=[2.0, 2.0], ust=0.8,
+                         xmu=0.5, nph=10, w0_ph=1.0, g_ph=[0.3, 0.2],
+                         lpos=200, xmin=-5, xmax=5)
+    um = build_umatrix(cfg)
+    bath = init_bath(cfg)
+    res = solve_impurity(cfg, np.zeros((1, 1, 2, 2)), um, bath)
+    # probabilities normalized, consistent with docc
+    p = res.obs.prob
+    assert p.shape == (9,)
+    assert abs(p.sum() - 1.0) < 1e-9
+    # P(orbital 0 doubly occupied) = sum of classes with c_0 = 2
+    p_d0 = sum(p[i] for i in range(9) if i % 3 == 2)
+    assert abs(p_d0 - res.docc[0]) < 1e-8
+    # phonon displacement PDF: normalized, mean = <X>/sqrt(2)... the natural
+    # units make <x> = <b+b†>/sqrt(2)
+    from edipack_tpu.solver.observables import phonon_position_pdf
+    x, pdf = phonon_position_pdf(cfg, res.obs)
+    dx = x[1] - x[0]
+    assert abs(pdf.sum() * dx - 1.0) < 1e-3
+    mean_x = (x * pdf).sum() * dx
+    assert abs(mean_x - res.obs.ph_x / np.sqrt(2)) < 1e-3
