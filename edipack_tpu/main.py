@@ -180,11 +180,27 @@ def ed_get_dimp(zeta=None, axis="m"):
 
 
 def ed_get_g0and(zeta, bath=None, axis="m", typ="n"):
-    return _R().get_g0and(zeta, axis, typ)
+    """Evaluate the Anderson Weiss field; with an explicit packed ``bath``
+    array the evaluation uses that bath instead of the solved one
+    (reference ed_get_g0and signature)."""
+    if bath is None:
+        return _R().get_g0and(zeta, axis, typ)
+    from .bath.dmft_bath import array_to_bath
+    from .bath.functions import g0and_bath
+    cfg = get_config()
+    b = array_to_bath(np.asarray(bath, float), cfg, get_global_basis())
+    return g0and_bath(cfg, b, _S().hloc, np.asarray(zeta, complex))
 
 
 def ed_get_delta(zeta, bath=None, axis="m", typ="n"):
-    return _R().get_delta(zeta, axis, typ)
+    if bath is None:
+        return _R().get_delta(zeta, axis, typ)
+    from .bath.dmft_bath import array_to_bath
+    from .bath.functions import delta_bath, fdelta_bath
+    cfg = get_config()
+    b = array_to_bath(np.asarray(bath, float), cfg, get_global_basis())
+    fn = delta_bath if typ == "n" else fdelta_bath
+    return fn(cfg, b, np.asarray(zeta, complex))
 
 
 def ed_get_dens():
