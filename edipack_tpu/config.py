@@ -189,6 +189,15 @@ class EDConfig:
             raise ValueError("ed_finite_temp requires lanc_nstates_total > 1")
         if self.nph > 0 and self.ed_mode == "nonsu2":
             raise ValueError("phonons not supported in nonsu2 mode")
+        if self.jz_basis:
+            if self.ed_mode != "nonsu2":
+                raise ValueError("jz_basis requires ed_mode=nonsu2")
+            if self.norb != 3:
+                raise ValueError("jz_basis requires norb=3 (t2g effective "
+                                 "L=1 basis, Lzdiag=[-1,+1,0])")
+            if self.bath_type == "hybrid":
+                raise ValueError("jz_basis: hybrid bath levels carry no "
+                                 "orbital character")
 
 
 # ---------------------------------------------------------------------------

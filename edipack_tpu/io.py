@@ -77,6 +77,8 @@ def write_eigenvalues(cfg: EDConfig, diag: DiagResult, table: SectorTable) -> No
 def _qn_fields(qn: Tuple) -> List[int]:
     if qn[0] == "n":
         return list(qn[1]) + list(qn[2])
+    if qn[0] == "ntj":
+        return [qn[1], qn[2]]
     return [qn[1]]
 
 

@@ -25,6 +25,11 @@ import numpy as np
 from .config import EDConfig
 from .fock import binom, enumerate_states, n_levels, popcount
 
+# Orbital angular-momentum diagonal of the Jz-conserving 3-orbital (t2g,
+# effective L=1) basis and spin Sz diagonal (reference ED_VARS_GLOBAL.f90:283-284)
+LZDIAG = np.array([-1, +1, 0])
+SZDIAG = np.array([+1, -1])
+
 
 @dataclass(frozen=True)
 class SpaceDims:
@@ -46,9 +51,46 @@ def space_dims(cfg: EDConfig) -> SpaceDims:
     dim_ph = cfg.nph + 1
     if cfg.ed_mode == "normal":
         nsectors = ((ns_orb + 1) ** 2) ** ns_ud
+    elif cfg.ed_mode == "nonsu2" and cfg.jz_basis:
+        w = jz_level_weights(cfg, ns)
+        nsectors = sum(max_two_jz(w, n) + 1 for n in range(2 * ns + 1))
     else:  # superc: Sz in -Ns..Ns ; nonsu2: N in 0..2Ns
         nsectors = 2 * ns + 1
     return SpaceDims(ns, ns_orb, ns_ud, 2 * ns, dim_ph, nsectors)
+
+
+def orbital_of_level(cfg: EDConfig, lvl: int) -> int:
+    """Orbital character of one-spin level ``lvl`` under the bath layout
+    (impurity levels first, then bath; reference getBathStride,
+    ED_SETUP.f90:944-961)."""
+    if lvl < cfg.norb:
+        return lvl
+    if cfg.bath_type in ("replica", "general"):
+        return (lvl - cfg.norb) % cfg.norb
+    if cfg.bath_type == "normal":
+        return (lvl - cfg.norb) // cfg.nbath
+    raise ValueError("hybrid bath levels carry no orbital character "
+                     "(jz_basis requires replica/general/normal bath)")
+
+
+def jz_level_weights(cfg: EDConfig, ns: int) -> np.ndarray:
+    """Per joint-bit (level,spin) weight ``2*Lz(orb) + Sz(spin)`` so that
+    2Jz(state) = occupations(state) @ weights (reference
+    get_nonsu2_sector_dimension_Jz, ED_SETUP.f90:1036-1064)."""
+    w = np.zeros(2 * ns, dtype=np.int64)
+    for lvl in range(ns):
+        lz = LZDIAG[orbital_of_level(cfg, lvl)]
+        w[lvl] = 2 * lz + SZDIAG[0]
+        w[lvl + ns] = 2 * lz + SZDIAG[1]
+    return w
+
+
+def max_two_jz(weights: np.ndarray, n: int) -> int:
+    """Exact max of sum of ``n`` distinct per-level weights (greedy; agrees
+    with the reference's Norb=3 closed formula at ED_SETUP.f90:817-827)."""
+    if n == 0 or n == len(weights):
+        return 0
+    return int(np.sort(weights)[::-1][:n].sum())
 
 
 @dataclass
@@ -141,6 +183,16 @@ class SectorTable:
             return qns
         if cfg.ed_mode == "superc":
             return [("sz", sz) for sz in range(-d.ns, d.ns + 1)]
+        if cfg.jz_basis:
+            # (Ntot, 2Jz) sectors (reference setup_global_nonsu2 Jz branch,
+            # ED_SETUP.f90:817-848): 2Jz runs -max..+max step 2 per N
+            w = jz_level_weights(cfg, d.ns)
+            qns = []
+            for n in range(2 * d.ns + 1):
+                mx = max_two_jz(w, n)
+                for two_jz in range(-mx, mx + 1, 2):
+                    qns.append(("ntj", n, two_jz))
+            return qns
         return [("nt", n) for n in range(2 * d.ns + 1)]
 
     def __len__(self) -> int:
@@ -197,13 +249,32 @@ class SectorTable:
             return Sector(i, "superc", qn, d.ns, d.dim_ph, states=states)
         # nonsu2
         n = qn[1]
-        blocks = []
-        for nup in range(max(0, n - d.ns), min(d.ns, n) + 1):
-            ndw = n - nup
-            blocks.append(_joint(enumerate_states(d.ns, nup),
-                                 enumerate_states(d.ns, ndw), d.ns))
-        states = np.sort(np.concatenate(blocks)) if blocks else np.empty(0, np.int64)
+        states, two_jz = self._nonsu2_states(n)
+        if qn[0] == "ntj":
+            states = states[two_jz == qn[2]]
         return Sector(i, "nonsu2", qn, d.ns, d.dim_ph, states=states)
+
+    def _nonsu2_states(self, n: int):
+        """All joint states with Ntot=n (sorted) and, when jz_basis, their
+        2Jz values; cached per n."""
+        key = ("_ntstates", n)
+        if key not in self._sector_cache:
+            d = self.dims
+            blocks = []
+            for nup in range(max(0, n - d.ns), min(d.ns, n) + 1):
+                ndw = n - nup
+                blocks.append(_joint(enumerate_states(d.ns, nup),
+                                     enumerate_states(d.ns, ndw), d.ns))
+            states = (np.sort(np.concatenate(blocks)) if blocks
+                      else np.empty(0, np.int64))
+            two_jz = None
+            if self.cfg.jz_basis:
+                w = jz_level_weights(self.cfg, d.ns)
+                two_jz = np.zeros(len(states), dtype=np.int64)
+                for b in range(2 * d.ns):
+                    two_jz += ((states >> np.int64(b)) & 1) * w[b]
+            self._sector_cache[key] = (states, two_jz)
+        return self._sector_cache[key]
 
     def _orbital_product_basis(self, counts) -> np.ndarray:
         """Global one-spin bitsets with orbital-a register holding counts[a]
@@ -240,15 +311,25 @@ class SectorTable:
             tot = sum(binom(d.ns, nup) * binom(d.ns, nup - sz)
                       for nup in range(max(0, sz), d.ns + 1))
             return tot * d.dim_ph
+        if qn[0] == "ntj":
+            _, two_jz = self._nonsu2_states(qn[1])
+            return int(np.count_nonzero(two_jz == qn[2])) * d.dim_ph
         n = qn[1]
         tot = sum(binom(d.ns, nup) * binom(d.ns, n - nup)
                   for nup in range(max(0, n - d.ns), min(d.ns, n) + 1))
         return tot * d.dim_ph
 
     # ------------------------------------------------------------------
-    # ± particle connectivity (getCsector/getCDGsector)
-    def c_sector(self, i: int, ispin: int, iud: int = 0) -> Optional[int]:
-        """Sector reached by removing one spin-``ispin`` particle (ispin: 0=up,1=dw)."""
+    # ± particle connectivity (getCsector/getCDGsector; Jz variants
+    # getCsector_Jz/getCDGsector_Jz, ED_SETUP.f90:944-983)
+    def _two_jz_of_op(self, iorb: int, ispin: int) -> int:
+        return 2 * int(LZDIAG[iorb]) + int(SZDIAG[ispin])
+
+    def c_sector(self, i: int, ispin: int, iud: int = 0,
+                 iorb: int = 0) -> Optional[int]:
+        """Sector reached by removing one spin-``ispin`` particle (ispin:
+        0=up,1=dw). ``iorb`` selects the orbital in the jz_basis, where the
+        target sector depends on the removed operator's 2jz = 2Lz+Sz."""
         qn = self._qn_list[i]
         if qn[0] == "n":
             _, nups, ndws = qn
@@ -261,9 +342,13 @@ class SectorTable:
         if qn[0] == "sz":
             sz = qn[1] + (-1 if ispin == 0 else +1)
             return self._qn_to_index.get(("sz", sz))
+        if qn[0] == "ntj":
+            tgt = qn[2] - self._two_jz_of_op(iorb, ispin)
+            return self._qn_to_index.get(("ntj", qn[1] - 1, tgt))
         return self._qn_to_index.get(("nt", qn[1] - 1))
 
-    def cdg_sector(self, i: int, ispin: int, iud: int = 0) -> Optional[int]:
+    def cdg_sector(self, i: int, ispin: int, iud: int = 0,
+                   iorb: int = 0) -> Optional[int]:
         qn = self._qn_list[i]
         if qn[0] == "n":
             _, nups, ndws = qn
@@ -276,6 +361,9 @@ class SectorTable:
         if qn[0] == "sz":
             sz = qn[1] + (+1 if ispin == 0 else -1)
             return self._qn_to_index.get(("sz", sz))
+        if qn[0] == "ntj":
+            tgt = qn[2] + self._two_jz_of_op(iorb, ispin)
+            return self._qn_to_index.get(("ntj", qn[1] + 1, tgt))
         return self._qn_to_index.get(("nt", qn[1] + 1))
 
     # ------------------------------------------------------------------
@@ -287,6 +375,9 @@ class SectorTable:
             return self._qn_to_index[("n", qn[2], qn[1])]
         if qn[0] == "sz":
             return self._qn_to_index[("sz", -qn[1])]
+        if qn[0] == "ntj":
+            return self._qn_to_index.get(
+                ("ntj", 2 * self.dims.ns - qn[1], -qn[2]), i)
         return self._qn_to_index[("nt", 2 * self.dims.ns - qn[1])]
 
     def twin_mask(self) -> np.ndarray:

@@ -194,15 +194,22 @@ def build_gf_nonsu2(cfg: EDConfig, table: SectorTable, sl: StateList,
     keys = [(s, a) for s in range(nspin) for a in range(norb)]
     offdiag = cfg.ed_all_g or cfg.bath_type != "normal" or cfg.ed_solve_offdiag_gf
 
+    jz = cfg.jz_basis
+
     for ist, st in enumerate(sl):
         sec = table.sector(st.sector)
         v2 = jnp.reshape(st.vector, (sec.dim_ph, sec.dim_el))
         ei = st.energy
-        jp = table.cdg_sector(st.sector, 0)
-        jm = table.c_sector(st.sector, 0)
+        isec = st.sector
+
+        def tgt(kind, a, s):
+            """Target sector of c/c† (reference getC(DG)sector vs the Jz
+            variants getC(DG)sector_Jz, ED_SETUP.f90:944-983)."""
+            fn = table.cdg_sector if kind == "cdg" else table.c_sector
+            return fn(isec, s, iorb=a) if jz else fn(isec, s)
 
         def channel(key, jsec, maps, coeffs, prefactor, sgn):
-            if jsec is None:
+            if jsec is None or table.get_dim(jsec) == 0:
                 return
             tsec = table.sector(jsec)
             ms = [joint_op(sec.states, tsec.states, ns, kind, lvl, spin)
@@ -213,13 +220,22 @@ def build_gf_nonsu2(cfg: EDConfig, table: SectorTable, sl: StateList,
                 gf.add(key, w[ist] * prefactor * wts, sgn * (en - ei))
 
         for (s, a) in keys:
-            channel(("g", (s, a), (s, a)), jp, [("cdg", a, s)], [1.0], 1.0, +1)
-            channel(("g", (s, a), (s, a)), jm, [("c", a, s)], [1.0], 1.0, -1)
+            channel(("g", (s, a), (s, a)), tgt("cdg", a, s),
+                    [("cdg", a, s)], [1.0], 1.0, +1)
+            channel(("g", (s, a), (s, a)), tgt("c", a, s),
+                    [("c", a, s)], [1.0], 1.0, -1)
         if offdiag:
             for i1 in range(len(keys)):
                 for i2 in range(i1 + 1, len(keys)):
                     (s1, a) = keys[i1]
                     (s2, b) = keys[i2]
+                    jp, jm = tgt("cdg", a, s1), tgt("c", a, s1)
+                    if jz and (jp != tgt("cdg", b, s2) or
+                               jm != tgt("c", b, s2)):
+                        # mixed combo only defined when both excitations land
+                        # in the same (N,2Jz) sector (reference
+                        # ED_GF_NONSU2.f90:231-290 dim guard)
+                        continue
                     channel(("gaux", keys[i1], keys[i2]), jp,
                             [("cdg", a, s1), ("cdg", b, s2)], [1, 1], 1.0, +1)
                     channel(("gaux", keys[i1], keys[i2]), jm,
