@@ -45,6 +45,70 @@ int  edtpu_get_gimp_matsubara(double *out, int lmats);
 int  edtpu_chi2_fitgf(const double *func, int l, double *bath, int nb,
                       int ispin);
 
+/* extended statics (reference get_mag/doubles/phi/argphi/exct) ---------- */
+int  edtpu_get_mag(const char *component, double *out, int norb);
+int  edtpu_get_doubles(double *out4);
+int  edtpu_get_phi(double *out, int n);      /* superc |phi| (Norb*Norb)   */
+int  edtpu_get_argphi(double *out, int n);
+int  edtpu_get_exct(double *out, int n);     /* exciton S0/Tx/Ty/Tz blocks */
+
+/* dynamical functions on the default grid of the given axis:
+ * axis = "m" (Matsubara) | "r" (real); typ = "n" (normal) | "a" (anomalous).
+ * out: interleaved complex, C order, rank-5 [Nspin,Nspin,Norb,Norb,L]
+ * (dimp: rank-1 [L]); nmax counts complex elements. */
+int  edtpu_get_sigma_axis(const char *axis, const char *typ, double *out,
+                          int nmax);
+int  edtpu_get_gimp_axis(const char *axis, const char *typ, double *out,
+                         int nmax);
+int  edtpu_get_g0imp_axis(const char *axis, const char *typ, double *out,
+                          int nmax);
+int  edtpu_get_dimp_axis(const char *axis, double *out, int nmax);
+
+/* susceptibilities: kind = "spin"|"dens"|"pair"|"exct_s0"|... ; out is
+ * [Norb,Norb,L] interleaved complex */
+int  edtpu_get_chi(const char *kind, const char *axis, double *out, int nmax);
+
+/* impurity RDM (4^Norb square, interleaved complex); returns #elements */
+int  edtpu_get_rdm(double *out, int nmax);
+int  edtpu_get_sp_dm(double *out, int nmax);
+
+/* runtime two-body operators (reference add_twobody_operator) ----------- */
+int  edtpu_add_twobody_operator(int oi, int si, int oj, int sj, int ok,
+                                int sk, int ol, int sl, double u);
+int  edtpu_reset_umatrix(void);
+
+/* replica/general matrix-basis baths (reference init_Hreplica/Hgeneral):
+ * ops re/im are [Nsym,Nspin,Nspin,Norb,Norb] C-order; lam has nlam entries
+ * (either Nsym, replicated, or Nbath*Nsym row-major) */
+int  edtpu_set_hreplica(const double *re, const double *im, int nsym,
+                        int nspin, int norb, const double *lam, int nlam,
+                        int nbath);
+int  edtpu_set_hgeneral(const double *re, const double *im, int nsym,
+                        int nspin, int norb, const double *lam, int nlam,
+                        int nbath);
+
+/* solve with optional GF skip (reference solve_site flag_gf) ------------ */
+int  edtpu_solve_flag(const double *bath, int nb, int flag_gf);
+
+/* chemical-potential controller (reference ed_search_variable): var is
+ * updated in place, *converged set to the still-converged flag */
+int  edtpu_search_variable(double *var, double ntmp, int *converged);
+
+/* inequivalent-impurities (lattice / R-DMFT, reference edipack2ineq) ---- */
+int  edtpu_ineq_init(int nineq);
+int  edtpu_ineq_init_solver(double *baths, int nineq, int nb); /* fills baths */
+int  edtpu_ineq_set_hloc(const double *re, const double *im, int nso,
+                         int per_site, int nineq);
+int  edtpu_ineq_solve(const double *baths, int nineq, int nb, int flag_gf);
+/* real-valued batched getters: name = "dens"|"docc"|"eimp"|"doubles"|...
+ * returns #doubles written */
+int  edtpu_ineq_get(const char *name, double *out, int nmax);
+/* complex batched getters: name = "sigma"|"gimp"|"g0imp"; interleaved,
+ * [Nineq,Nspin,Nspin,Norb,Norb,L]; returns #complex elements */
+int  edtpu_ineq_get_gf(const char *name, double *out, int nmax);
+int  edtpu_ineq_fit_gf(const double *funcs, int l, double *baths, int nineq,
+                       int nb, int ispin);
+
 const char *edtpu_last_error(void);
 
 #ifdef __cplusplus

@@ -256,6 +256,348 @@ int edtpu_get_gimp_matsubara(double *out, int lmats) {
   return getter_gf("ed_get_gimp", out, lmats);
 }
 
+/* ---------------------------------------------------------------------- */
+/* extended surface: statics, complex getters on default grids, replica
+ * bases, runtime umatrix, ineq (lattice) variants — parity with the
+ * reference header src/c_bindings/edipack_cbindings.h                      */
+/* ---------------------------------------------------------------------- */
+
+static PyObject *helper(void) {
+  return PyImport_ImportModule("edipack_tpu.capihelp");
+}
+
+static PyObject *call_help(const char *fn, PyObject *args) {
+  PyObject *h = helper();
+  if (!h) { set_err_from_python(); return NULL; }
+  PyObject *f = PyObject_GetAttrString(h, fn);
+  Py_DECREF(h);
+  if (!f) { set_err_from_python(); return NULL; }
+  PyObject *r = PyObject_CallObject(f, args);
+  Py_DECREF(f);
+  if (!r) set_err_from_python();
+  return r;
+}
+
+static PyObject *dbl_list(const double *p, Py_ssize_t n) {
+  if (!p) Py_RETURN_NONE;
+  PyObject *lst = PyList_New(n);
+  for (Py_ssize_t i = 0; i < n; ++i)
+    PyList_SET_ITEM(lst, i, PyFloat_FromDouble(p[i]));
+  return lst;
+}
+
+/* copy a complex ndarray (any rank) into interleaved (re,im) out; returns
+ * number of complex elements copied or -1 */
+static int copy_complex_out(PyObject *arr, double *out, int nmax) {
+  PyObject *np = PyImport_ImportModule("numpy");
+  if (!np) { set_err_from_python(); return -1; }
+  PyObject *flat = PyObject_CallMethod(arr, "ravel", NULL);
+  Py_DECREF(np);
+  if (!flat) { set_err_from_python(); return -1; }
+  PyObject *re = PyObject_GetAttrString(flat, "real");
+  PyObject *im = PyObject_GetAttrString(flat, "imag");
+  Py_DECREF(flat);
+  if (!re || !im) { Py_XDECREF(re); Py_XDECREF(im); return -1; }
+  PyObject *relist = PyObject_CallMethod(re, "tolist", NULL);
+  PyObject *imlist = PyObject_CallMethod(im, "tolist", NULL);
+  Py_DECREF(re);
+  Py_DECREF(im);
+  if (!relist || !imlist) { Py_XDECREF(relist); Py_XDECREF(imlist); return -1; }
+  Py_ssize_t n = PyList_Size(relist);
+  if (n > nmax) n = nmax;
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    out[2 * i] = PyFloat_AsDouble(PyList_GET_ITEM(relist, i));
+    out[2 * i + 1] = PyFloat_AsDouble(PyList_GET_ITEM(imlist, i));
+  }
+  Py_DECREF(relist);
+  Py_DECREF(imlist);
+  return (int)n;
+}
+
+int edtpu_get_mag(const char *component, double *out, int norb) {
+  if (edtpu_init()) return -1;
+  PyObject *args = Py_BuildValue("(s)", component);
+  PyObject *r = call("ed_get_mag", args);
+  Py_DECREF(args);
+  if (!r) return -1;
+  PyObject *rav = PyObject_CallMethod(r, "ravel", NULL);
+  Py_DECREF(r);
+  if (!rav) { set_err_from_python(); return -1; }
+  int n = copy_array(rav, out, norb);
+  Py_DECREF(rav);
+  return n < 0 ? -1 : 0;
+}
+
+int edtpu_get_doubles(double *out4) {
+  return getter_1d("ed_get_doubles", out4, 4) < 0 ? -1 : 0;
+}
+
+int edtpu_get_phi(double *out, int n) {
+  return getter_1d("ed_get_phi", out, n) < 0 ? -1 : 0;
+}
+
+int edtpu_get_argphi(double *out, int n) {
+  return getter_1d("ed_get_argphi", out, n) < 0 ? -1 : 0;
+}
+
+int edtpu_get_exct(double *out, int n) {
+  return getter_1d("ed_get_exct", out, n) < 0 ? -1 : 0;
+}
+
+static int gf_axis(const char *which, const char *axis, const char *typ,
+                   double *out, int nmax) {
+  if (edtpu_init()) return -1;
+  PyObject *args = Py_BuildValue("(sss)", which, axis, typ);
+  PyObject *r = call_help("get_gf", args);
+  Py_DECREF(args);
+  if (!r) return -1;
+  int n = copy_complex_out(r, out, nmax);
+  Py_DECREF(r);
+  return n < 0 ? -1 : 0;
+}
+
+int edtpu_get_sigma_axis(const char *axis, const char *typ, double *out,
+                         int nmax) {
+  return gf_axis("sigma", axis, typ, out, nmax);
+}
+
+int edtpu_get_gimp_axis(const char *axis, const char *typ, double *out,
+                        int nmax) {
+  return gf_axis("gimp", axis, typ, out, nmax);
+}
+
+int edtpu_get_g0imp_axis(const char *axis, const char *typ, double *out,
+                         int nmax) {
+  return gf_axis("g0imp", axis, typ, out, nmax);
+}
+
+int edtpu_get_dimp_axis(const char *axis, double *out, int nmax) {
+  return gf_axis("dimp", axis, "n", out, nmax);
+}
+
+int edtpu_get_chi(const char *kind, const char *axis, double *out, int nmax) {
+  if (edtpu_init()) return -1;
+  PyObject *args = Py_BuildValue("(ss)", kind, axis);
+  PyObject *r = call_help("get_chi", args);
+  Py_DECREF(args);
+  if (!r) return -1;
+  int n = copy_complex_out(r, out, nmax);
+  Py_DECREF(r);
+  return n < 0 ? -1 : 0;
+}
+
+int edtpu_get_rdm(double *out, int nmax) {
+  if (edtpu_init()) return -1;
+  PyObject *r = call_help("get_rdm_flat", NULL);
+  if (!r) return -1;
+  int n = copy_complex_out(r, out, nmax);
+  Py_DECREF(r);
+  return n < 0 ? -1 : n;
+}
+
+int edtpu_get_sp_dm(double *out, int nmax) {
+  if (edtpu_init()) return -1;
+  PyObject *r = call_help("get_sp_dm_flat", NULL);
+  if (!r) return -1;
+  int n = copy_complex_out(r, out, nmax);
+  Py_DECREF(r);
+  return n < 0 ? -1 : n;
+}
+
+int edtpu_add_twobody_operator(int oi, int si, int oj, int sj, int ok, int sk,
+                               int ol, int sl, double u) {
+  if (edtpu_init()) return -1;
+  PyObject *args = Py_BuildValue("(iiiiiiiid)", oi, si, oj, sj, ok, sk, ol,
+                                 sl, u);
+  PyObject *r = call("ed_add_twobody_operator", args);
+  Py_DECREF(args);
+  if (!r) return -1;
+  Py_DECREF(r);
+  return 0;
+}
+
+int edtpu_reset_umatrix(void) {
+  if (edtpu_init()) return -1;
+  PyObject *r = call("ed_reset_umatrix", NULL);
+  if (!r) return -1;
+  Py_DECREF(r);
+  return 0;
+}
+
+static int set_basis(const char *fn, const double *re, const double *im,
+                     int nsym, int nspin, int norb, const double *lam,
+                     int nlam, int nbath) {
+  if (edtpu_init()) return -1;
+  Py_ssize_t nops = (Py_ssize_t)nsym * nspin * nspin * norb * norb;
+  PyObject *rel = dbl_list(re, nops);
+  PyObject *iml = dbl_list(im, nops);
+  PyObject *laml = dbl_list(lam, nlam);
+  PyObject *args = Py_BuildValue("(OOiiiOi)", rel, iml, nsym, nspin, norb,
+                                 laml, nbath);
+  Py_DECREF(rel);
+  Py_DECREF(iml);
+  Py_DECREF(laml);
+  PyObject *r = call_help(fn, args);
+  Py_DECREF(args);
+  if (!r) return -1;
+  Py_DECREF(r);
+  return 0;
+}
+
+int edtpu_set_hreplica(const double *re, const double *im, int nsym,
+                       int nspin, int norb, const double *lam, int nlam,
+                       int nbath) {
+  return set_basis("set_hreplica_flat", re, im, nsym, nspin, norb, lam, nlam,
+                   nbath);
+}
+
+int edtpu_set_hgeneral(const double *re, const double *im, int nsym,
+                       int nspin, int norb, const double *lam, int nlam,
+                       int nbath) {
+  return set_basis("set_hgeneral_flat", re, im, nsym, nspin, norb, lam, nlam,
+                   nbath);
+}
+
+int edtpu_solve_flag(const double *bath, int nb, int flag_gf) {
+  if (edtpu_init()) return -1;
+  PyObject *lst = bath_to_pylist(bath, nb);
+  PyObject *args = Py_BuildValue("(OO)", lst, flag_gf ? Py_True : Py_False);
+  Py_DECREF(lst);
+  PyObject *r = call("ed_solve", args);
+  Py_DECREF(args);
+  if (!r) return -1;
+  Py_DECREF(r);
+  return 0;
+}
+
+int edtpu_search_variable(double *var, double ntmp, int *converged) {
+  if (edtpu_init()) return -1;
+  PyObject *args = Py_BuildValue("(ddO)", *var, ntmp,
+                                 *converged ? Py_True : Py_False);
+  PyObject *r = call("ed_search_variable", args);
+  Py_DECREF(args);
+  if (!r) return -1;
+  /* returns (var, converged) */
+  PyObject *v0 = PyTuple_GetItem(r, 0);
+  PyObject *v1 = PyTuple_GetItem(r, 1);
+  if (v0) *var = PyFloat_AsDouble(v0);
+  if (v1) *converged = PyObject_IsTrue(v1);
+  Py_DECREF(r);
+  return 0;
+}
+
+/* -- ineq (lattice) ----------------------------------------------------- */
+
+int edtpu_ineq_init(int nineq) {
+  if (edtpu_init()) return -1;
+  PyObject *args = Py_BuildValue("(i)", nineq);
+  PyObject *r = call_help("ineq_init", args);
+  Py_DECREF(args);
+  if (!r) return -1;
+  Py_DECREF(r);
+  return 0;
+}
+
+int edtpu_ineq_init_solver(double *baths, int nineq, int nb) {
+  /* output-only (reference ed_init_solver fills the user array; the input
+   * buffer is uninitialized C memory and must not be adopted as a bath) */
+  if (edtpu_init()) return -1;
+  PyObject *args = Py_BuildValue("(Oi)", Py_None, 0);
+  PyObject *r = call_help("ineq_init_solver", args);
+  Py_DECREF(args);
+  if (!r) return -1;
+  PyObject *rav = PyObject_CallMethod(r, "ravel", NULL);
+  Py_DECREF(r);
+  if (!rav) { set_err_from_python(); return -1; }
+  int n = copy_array(rav, baths, nineq * nb);
+  Py_DECREF(rav);
+  return n < 0 ? -1 : 0;
+}
+
+int edtpu_ineq_set_hloc(const double *re, const double *im, int nso,
+                        int per_site, int nineq) {
+  if (edtpu_init()) return -1;
+  Py_ssize_t n = (Py_ssize_t)nso * nso * (per_site ? nineq : 1);
+  PyObject *rel = dbl_list(re, n);
+  PyObject *iml = dbl_list(im, n);
+  PyObject *args = Py_BuildValue("(OOii)", rel, iml, nso, per_site);
+  Py_DECREF(rel);
+  Py_DECREF(iml);
+  PyObject *r = call_help("ineq_set_hloc", args);
+  Py_DECREF(args);
+  if (!r) return -1;
+  Py_DECREF(r);
+  return 0;
+}
+
+int edtpu_ineq_solve(const double *baths, int nineq, int nb, int flag_gf) {
+  if (edtpu_init()) return -1;
+  PyObject *bl = dbl_list(baths, (Py_ssize_t)nineq * nb);
+  PyObject *args = Py_BuildValue("(Oii)", bl, nb, flag_gf);
+  Py_DECREF(bl);
+  PyObject *r = call_help("ineq_solve", args);
+  Py_DECREF(args);
+  if (!r) return -1;
+  Py_DECREF(r);
+  return 0;
+}
+
+int edtpu_ineq_get(const char *name, double *out, int nmax) {
+  if (edtpu_init()) return -1;
+  PyObject *args = Py_BuildValue("(s)", name);
+  PyObject *r = call_help("ineq_get", args);
+  Py_DECREF(args);
+  if (!r) return -1;
+  PyObject *rav = PyObject_CallMethod(r, "ravel", NULL);
+  Py_DECREF(r);
+  if (!rav) { set_err_from_python(); return -1; }
+  int n = copy_array(rav, out, nmax);
+  Py_DECREF(rav);
+  return n < 0 ? -1 : n;
+}
+
+int edtpu_ineq_get_gf(const char *name, double *out, int nmax) {
+  if (edtpu_init()) return -1;
+  PyObject *args = Py_BuildValue("(s)", name);
+  PyObject *r = call_help("ineq_get", args);
+  Py_DECREF(args);
+  if (!r) return -1;
+  int n = copy_complex_out(r, out, nmax);
+  Py_DECREF(r);
+  return n < 0 ? -1 : n;
+}
+
+int edtpu_ineq_fit_gf(const double *funcs, int l, double *baths, int nineq,
+                      int nb, int ispin) {
+  if (edtpu_init()) return -1;
+  PyObject *h = helper();
+  if (!h) { set_err_from_python(); return -1; }
+  PyObject *cfgmod = PyImport_ImportModule("edipack_tpu.config");
+  PyObject *cfg = cfgmod ? PyObject_CallMethod(cfgmod, "get_config", NULL)
+                         : NULL;
+  PyObject *norb_o = cfg ? PyObject_GetAttrString(cfg, "norb") : NULL;
+  long norb = norb_o ? PyLong_AsLong(norb_o) : 1;
+  Py_XDECREF(norb_o);
+  Py_XDECREF(cfg);
+  Py_XDECREF(cfgmod);
+  Py_DECREF(h);
+  Py_ssize_t nf = 2L * nineq * norb * norb * l;
+  PyObject *fl = dbl_list(funcs, nf);
+  PyObject *bl = dbl_list(baths, (Py_ssize_t)nineq * nb);
+  PyObject *args = Py_BuildValue("(OiOii)", fl, l, bl, nb, ispin);
+  Py_DECREF(fl);
+  Py_DECREF(bl);
+  PyObject *r = call_help("ineq_fit_gf", args);
+  Py_DECREF(args);
+  if (!r) return -1;
+  PyObject *rav = PyObject_CallMethod(r, "ravel", NULL);
+  Py_DECREF(r);
+  if (!rav) { set_err_from_python(); return -1; }
+  int n = copy_array(rav, baths, nineq * nb);
+  Py_DECREF(rav);
+  return n < 0 ? -1 : 0;
+}
+
 int edtpu_chi2_fitgf(const double *func, int l, double *bath, int nb,
                      int ispin) {
   if (edtpu_init()) return -1;

@@ -15,9 +15,17 @@ import sys
 from dataclasses import dataclass, field
 from typing import List, Optional
 
+import numpy as np
+
 
 def _norb_list(default: float, n: int = 5) -> List[float]:
     return [default] * n
+
+
+# list-valued fields that accept a scalar broadcast (exc_field excluded: its
+# 4 entries are distinct S0/Tx/Ty/Tz components)
+_LIST_FIELDS = ("uloc", "g_ph", "spin_field_x", "spin_field_y",
+                "spin_field_z", "pair_field")
 
 
 @dataclass
@@ -164,6 +172,11 @@ class EDConfig:
         return list(self.uloc[: self.norb])
 
     def replace(self, **kw) -> "EDConfig":
+        # coerce scalars into the list-valued fields (the reference accepts
+        # ULOC=2.0 as a broadcast vector; the C set_option path sends scalars)
+        for name in _LIST_FIELDS:
+            if name in kw and np.isscalar(kw[name]):
+                kw[name] = [float(kw[name])] * 5
         return dataclasses.replace(self, **kw)
 
     # -- validation (parity: ED_INPUT_VARS.f90:771-795, ED_SETUP.f90:32-100)

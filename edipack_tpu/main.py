@@ -77,7 +77,8 @@ class EDSolver:
     def reset_umatrix(self) -> None:
         self.runtime_terms = []
 
-    def solve(self, bath_array: Optional[np.ndarray] = None) -> SolveResult:
+    def solve(self, bath_array: Optional[np.ndarray] = None,
+              flag_gf: bool = True) -> SolveResult:
         if bath_array is not None:
             self.bath = array_to_bath(bath_array, self.cfg, self.basis)
         um = build_umatrix(self.cfg, runtime_terms=self.runtime_terms)
@@ -94,7 +95,8 @@ class EDSolver:
         self.result = solve_impurity(self.cfg, self.hloc, um, self.bath,
                                      neigen_override=neigen,
                                      sector_mask=sector_mask,
-                                     hloc_anomalous=self.hloc_anomalous)
+                                     hloc_anomalous=self.hloc_anomalous,
+                                     flag_gf=flag_gf)
         if self.cfg.ed_write_files:
             edio.write_all_outputs(self.cfg, self.result)
         return self.result
@@ -130,8 +132,11 @@ def ed_set_hloc(hloc, hloc_anomalous=None) -> None:
     _S().set_hloc(hloc, hloc_anomalous)
 
 
-def ed_solve(bath=None):
-    return _S().solve(np.asarray(bath, float) if bath is not None else None)
+def ed_solve(bath=None, flag_gf: bool = True):
+    """reference ed_solve(bath, flag_gf) (ED_MAIN.f90:164; flag_gf skips the
+    dynamical-response pass, E2I_MAIN.f90:179)."""
+    return _S().solve(np.asarray(bath, float) if bath is not None else None,
+                      flag_gf=flag_gf)
 
 
 def ed_finalize_solver() -> None:

@@ -175,14 +175,16 @@ def solve_impurity(cfg: EDConfig, hloc: np.ndarray, um: Umatrix,
                    bath: DmftBath,
                    neigen_override: Optional[np.ndarray] = None,
                    sector_mask: Optional[np.ndarray] = None,
-                   hloc_anomalous: Optional[np.ndarray] = None) -> SolveResult:
+                   hloc_anomalous: Optional[np.ndarray] = None,
+                   flag_gf: bool = True) -> SolveResult:
     cfg.validate()
     if cfg.ed_mode != "normal":
         from .core_joint import solve_impurity_joint
         return solve_impurity_joint(cfg, hloc, um, bath,
                                     neigen_override=neigen_override,
                                     sector_mask=sector_mask,
-                                    hloc_anomalous=hloc_anomalous)
+                                    hloc_anomalous=hloc_anomalous,
+                                    flag_gf=flag_gf)
 
     from ..utils.timing import PhaseTimer
     timer = PhaseTimer(verbose=cfg.ed_verbose)
@@ -236,16 +238,19 @@ def solve_impurity(cfg: EDConfig, hloc: np.ndarray, um: Umatrix,
                            neigen_override=neigen_override,
                            sector_mask=sector_mask)
 
-    with timer.phase("greens_functions"):
-        gf = build_gf_normal(cfg, table, diag.state_list, matvec_builder,
-                             dense_eig_cache, all_g=cfg.ed_all_g)
+    gf = GFMatrix()
+    if flag_gf:
+        with timer.phase("greens_functions"):
+            gf = build_gf_normal(cfg, table, diag.state_list, matvec_builder,
+                                 dense_eig_cache, all_g=cfg.ed_all_g)
 
     with timer.phase("observables"):
         obs = compute_observables_normal(cfg, table, diag.state_list, hloc,
                                          um, op_cache)
 
     chi = None
-    if cfg.chispin_flag or cfg.chidens_flag or cfg.chipair_flag or cfg.chiexct_flag:
+    if flag_gf and (cfg.chispin_flag or cfg.chidens_flag or cfg.chipair_flag
+                    or cfg.chiexct_flag):
         from .chi import build_chi_normal
         chi = build_chi_normal(cfg, table, diag.state_list, matvec_builder,
                                dense_eig_cache)

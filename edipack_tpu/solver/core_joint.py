@@ -384,7 +384,7 @@ def compute_observables_joint(cfg: EDConfig, table: SectorTable, sl: StateList,
 
 def solve_impurity_joint(cfg: EDConfig, hloc, um: Umatrix, bath: DmftBath,
                          neigen_override=None, sector_mask=None,
-                         hloc_anomalous=None):
+                         hloc_anomalous=None, flag_gf: bool = True):
     from .core import SolveResult
 
     table = SectorTable(cfg)
@@ -423,13 +423,15 @@ def solve_impurity_joint(cfg: EDConfig, hloc, um: Umatrix, bath: DmftBath,
                            neigen_override=neigen_override,
                            sector_mask=sector_mask)
 
-    with timer.phase("greens_functions"):
-        if cfg.ed_mode == "superc":
-            gf = build_gf_superc(cfg, table, diag.state_list, matvec_builder,
-                                 dense_eig_cache)
-        else:
-            gf = build_gf_nonsu2(cfg, table, diag.state_list, matvec_builder,
-                                 dense_eig_cache)
+    gf = GFMatrix()
+    if flag_gf:
+        with timer.phase("greens_functions"):
+            if cfg.ed_mode == "superc":
+                gf = build_gf_superc(cfg, table, diag.state_list,
+                                     matvec_builder, dense_eig_cache)
+            else:
+                gf = build_gf_nonsu2(cfg, table, diag.state_list,
+                                     matvec_builder, dense_eig_cache)
 
     with timer.phase("observables"):
         obs = compute_observables_joint(cfg, table, diag.state_list, hloc, um,

@@ -83,8 +83,10 @@ def diagonalize(cfg: EDConfig, table: SectorTable,
         b = _pad_pow2_bucket(table.get_dim(i))
         buckets.setdefault(b, []).append(i)
     for bsize, secs in sorted(buckets.items()):
-        # chunk very large batches to bound memory
-        max_batch = max(1, (1 << 26) // (bsize * bsize))
+        # chunk very large batches to bound memory AND the host->device
+        # transfer size (~64MB/chunk at c128; large single device_puts are
+        # punishing on slow transports)
+        max_batch = max(1, (1 << 22) // (bsize * bsize))
         for lo in range(0, len(secs), max_batch):
             chunk = secs[lo:lo + max_batch]
             mats = np.zeros((len(chunk), bsize, bsize))

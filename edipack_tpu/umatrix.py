@@ -266,8 +266,16 @@ def save_umatrix_file(um: Umatrix, path: str) -> None:
                      f"{float(np.real(u)):.12f}\n")
 
 
+def _spin_idx(s) -> int:
+    """'u'/'d' chars or 1-based ints (the reference C binding passes ints,
+    edipack_cbindings.h add_twobody_operator)."""
+    if isinstance(s, str):
+        return _SPIN_CHAR[s.lower()]
+    return SPIN_UP if int(s) == 1 else SPIN_DW
+
+
 def make_term(oi, si, oj, sj, ok, sk, ol, sl, u) -> TwoBodyTerm:
-    """User-facing constructor with 1-based orbitals and 'u'/'d' spins
-    (reference add_twobody_operator signature)."""
-    return TwoBodyTerm(oi - 1, _SPIN_CHAR[si.lower()], oj - 1, _SPIN_CHAR[sj.lower()],
-                       ok - 1, _SPIN_CHAR[sk.lower()], ol - 1, _SPIN_CHAR[sl.lower()], u)
+    """User-facing constructor with 1-based orbitals and 'u'/'d' (or 1/2)
+    spins (reference add_twobody_operator signature)."""
+    return TwoBodyTerm(oi - 1, _spin_idx(si), oj - 1, _spin_idx(sj),
+                       ok - 1, _spin_idx(sk), ol - 1, _spin_idx(sl), u)
