@@ -50,43 +50,40 @@ def main():
     dev = jax.devices()[0]
     platform = dev.platform
 
-    results = {}
-    for dtype, label in ((jnp.float32, "f32"), (jnp.float64, "f64")):
-        mv = KronMatvec(op, dtype=dtype)
+    from edipack_tpu.ops.matvec import MixedKronMatvec
 
-        # operands as explicit arguments (keeps them out of the compiled
-        # program body — the axon remote-compile path caps program size)
-        @jax.jit
-        def f(v, d, hup_t, hdw, nl_a, nl_b):
-            out = d * v + v @ hup_t + jnp.einsum("de,peu->pdu", hdw, v)
-            out = out + jnp.einsum("kde,peu,kuv->pdv", nl_b, v, nl_a)
-            return out
-
-        args = (mv.d, mv.hup_t, mv.hdw, mv.nl_a, mv.nl_b)
-
-        def call(v):
-            return f(v.reshape(mv.shape3), *args).reshape(-1)
-
+    def scan_time(mv, vdtype, label, n=20):
+        """Time matvec+normalize inside one jitted lax.scan — exactly how the
+        Lanczos eigensolver consumes the matvec (amortizes the per-program
+        dispatch overhead of the remote-tunnel path)."""
+        def step(v, _):
+            w = mv.apply3(v)
+            return w / jnp.linalg.norm(w), None
+        f = jax.jit(lambda v: jax.lax.scan(step, v, None, length=n)[0])
         key = jax.random.PRNGKey(0)
-        v = jax.random.normal(key, (mv.dim,), dtype=jnp.float32).astype(dtype)
-        v = v / jnp.linalg.norm(v)
-        w = call(v)
+        v = jax.random.normal(key, mv.shape3, jnp.float32).astype(vdtype)
+        w = f(v)
         _ = float(jnp.vdot(w, w))      # compile + warmup + full roundtrip
-        n_iter = 20 if label == "f32" else 5
-        # time with a host-fetched scalar at the end: block_until_ready on a
-        # remote (tunneled) array can return before execution completes, so
-        # force a data dependency through to the host
         t0 = time.time()
-        for _ in range(n_iter):
-            v = call(v)
-        _ = float(jnp.vdot(v, v))
-        dt = (time.time() - t0) / n_iter
-        results[label] = dt
+        w = f(v)
+        # host-fetched scalar: block_until_ready on a remote (tunneled)
+        # array can return before execution completes
+        _ = float(jnp.vdot(w, w))
+        dt = (time.time() - t0) / n
         print(f"[bench] {label}: {dt*1e3:.3f} ms/matvec  "
               f"({mv.nnz/dt/1e9:.2f} Gnnz/s, dim={mv.dim}, nnz={mv.nnz})",
               file=sys.stderr)
+        return dt
 
-    nnz = KronMatvec(op, dtype=jnp.float32).nnz
+    results = {}
+    results["f32"] = scan_time(KronMatvec(op, dtype=jnp.float32),
+                               jnp.float32, "f32")
+    # the f64-accuracy path the solver actually runs on TPU: double-single
+    # f32 on the MXU (ed_mixed_matvec), ~15x the emulated-f64 matvec
+    results["mixed"] = scan_time(MixedKronMatvec(op), jnp.float64,
+                                 "mixed-ds64")
+
+    nnz = op.nnz_estimate()
     rate = nnz / results["f32"]
 
     hbm_bw = {"tpu": 819e9, "axon": 819e9}.get(platform, 100e9)  # bytes/s

@@ -160,6 +160,17 @@ class EDConfig:
 
     # ---- TPU-native additions (no reference counterpart)
     ed_precision: str = "float64"   # float64 | float32 : dtype of the matvec path
+    # TPU f64 matmuls are VPU-emulated (~70x slower than f32); "auto" runs
+    # large-sector Lanczos matvecs in double-single f32 on the MXU (~3e-7
+    # matvec error) with an exact f64 Rayleigh-Ritz refinement of the
+    # converged subspace. "always"/"never" override; GF moments stay exact
+    # f64 unless ed_mixed_gf.
+    ed_mixed_matvec: str = "auto"   # auto | always | never
+    # GF tridiagonalization also runs on the split-f32 matvec where the
+    # matvec is mixed: the ~3e-7 matvec noise enters poles/weights at
+    # ~1e-6*||H|| — far below the spectral broadening (eps default 1e-2).
+    # Set False to force exact-f64 GF moments.
+    ed_mixed_gf: bool = True
     ed_dense_factors: bool = True   # normal mode: dense spin-factor matmul path
     ed_batch_dense: bool = True     # batch small sectors into one padded eigh
     ed_file_suffix: str = ""        # per-site suffix (ineq extension)
@@ -202,6 +213,8 @@ class EDConfig:
             raise ValueError("ed_finite_temp requires lanc_nstates_total > 1")
         if self.nph > 0 and self.ed_mode == "nonsu2":
             raise ValueError("phonons not supported in nonsu2 mode")
+        if self.ed_mixed_matvec not in ("auto", "always", "never"):
+            raise ValueError("ed_mixed_matvec must be auto|always|never")
         if self.jz_basis:
             if self.ed_mode != "nonsu2":
                 raise ValueError("jz_basis requires ed_mode=nonsu2")

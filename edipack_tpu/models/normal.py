@@ -34,13 +34,19 @@ from ..umatrix import SPIN_UP, SPIN_DW, OpString, Umatrix
 @dataclass
 class NormalSectorOp:
     """Host-side (NumPy) operator data for one (Nup,Ndw) sector; converted to
-    device arrays by ops.matvec.KronMatvec."""
+    device arrays by ops.matvec.KronMatvec.
+
+    Nonlocal Kronecker pairs (A_k, B_k) are stored in permutation form
+    ``nl_perm = (src_a, sgn_a, src_b, sgn_b)``: every c/c† operator-string
+    spin factor has ≤1 nonzero per row, so A_k[u, src_a[k,u]] = sgn_a[k,u]
+    (sgn 0 marks empty rows). Dense views materialize lazily via nl_a/nl_b
+    (tests, dense-diag path) — never on the large-sector hot path."""
     sector: Sector
     d: np.ndarray                  # (DimDw, DimUp) diagonal
     hup: np.ndarray                # (DimUp, DimUp)
     hdw: np.ndarray                # (DimDw, DimDw)
-    nl_a: Optional[np.ndarray]     # (K, DimUp, DimUp) up factors of H_nd
-    nl_b: Optional[np.ndarray]     # (K, DimDw, DimDw) dw factors of H_nd
+    nl_perm: Optional[Tuple[np.ndarray, np.ndarray,
+                            np.ndarray, np.ndarray]] = None
     # phonons (None when nph == 0)
     ph_mat: Optional[np.ndarray] = None    # (DimPh, DimPh) w0 b†b + A(b+b†)
     ph_x: Optional[np.ndarray] = None      # (DimPh, DimPh) displacement b+b†
@@ -52,14 +58,42 @@ class NormalSectorOp:
     def dim(self) -> int:
         return self.sector.dim
 
+    @staticmethod
+    def _perm_dense(src: np.ndarray, sgn: np.ndarray) -> np.ndarray:
+        k, n = src.shape
+        out = np.zeros((k, n, n))
+        rows = np.arange(n)
+        for i in range(k):
+            out[i, rows, src[i]] = sgn[i]
+        return out
+
+    @property
+    def nl_a(self) -> Optional[np.ndarray]:
+        if self.nl_perm is None:
+            return None
+        if not hasattr(self, "_nl_a_dense"):
+            self._nl_a_dense = self._perm_dense(self.nl_perm[0],
+                                                self.nl_perm[1])
+        return self._nl_a_dense
+
+    @property
+    def nl_b(self) -> Optional[np.ndarray]:
+        if self.nl_perm is None:
+            return None
+        if not hasattr(self, "_nl_b_dense"):
+            self._nl_b_dense = self._perm_dense(self.nl_perm[2],
+                                                self.nl_perm[3])
+        return self._nl_b_dense
+
     def nnz_estimate(self) -> int:
         """Effective sparse-matrix nonzeros (for nnz/s benchmark accounting)."""
         du, dd = self.hup.shape[0], self.hdw.shape[0]
         nnz = du * dd  # diagonal
         nnz += np.count_nonzero(self.hup) * dd + np.count_nonzero(self.hdw) * du
-        if self.nl_a is not None:
-            for a, b in zip(self.nl_a, self.nl_b):
-                nnz += np.count_nonzero(a) * np.count_nonzero(b)
+        if self.nl_perm is not None:
+            src_a, sgn_a, src_b, sgn_b = self.nl_perm
+            nnz += int((np.count_nonzero(sgn_a, axis=1)
+                        * np.count_nonzero(sgn_b, axis=1)).sum())
         return int(nnz * (self.sector.dim_ph if self.ph_mat is None else 1))
 
     def to_dense(self) -> np.ndarray:
@@ -95,6 +129,46 @@ def _hop_matrix(basis: np.ndarray, ns: int, terms: List[Tuple[int, int, float]],
         rows, cols, signs = hop_elements(basis, ns, i, j)
         np.add.at(h, (rows, cols), t * signs)
     return h
+
+
+def _hop_perm(basis: np.ndarray, ns: int, i: int, j: int,
+              t: float) -> Tuple[np.ndarray, np.ndarray]:
+    """Permutation form (src, sgn) of t * c^+_i c_j on one spin basis:
+    row r has its single nonzero at column src[r] with value sgn[r]."""
+    dim = len(basis)
+    src = np.zeros(dim, dtype=np.int32)
+    sgn = np.zeros(dim)
+    rows, cols, signs = hop_elements(basis, ns, i, j)
+    src[rows] = cols
+    sgn[rows] = t * signs
+    return src, sgn
+
+
+def _string_perm(basis: np.ndarray, ns: int, ops: List[Tuple[str, int]],
+                 coeff: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
+    """Permutation form of a c/cdg operator string (identity when empty)."""
+    dim = len(basis)
+    if not ops:
+        return np.arange(dim, dtype=np.int32), np.full(dim, coeff)
+    from ..fock import apply_c, apply_cdg, state_index
+
+    states = basis.copy()
+    signs = np.ones(dim)
+    valid = np.ones(dim, dtype=bool)
+    for kind, lvl in ops:
+        fn = apply_c if kind == "c" else apply_cdg
+        states, s, v = fn(states, lvl)
+        signs = signs * s
+        valid &= v
+    src = np.zeros(dim, dtype=np.int32)
+    sgn = np.zeros(dim)
+    cols = np.nonzero(valid)[0]
+    rows = state_index(basis, states[cols])
+    good = rows >= 0
+    cols, rows = cols[good], rows[good]
+    src[rows] = cols
+    sgn[rows] = coeff * signs[cols]
+    return src, sgn
 
 
 def _string_matrix(basis: np.ndarray, ns: int,
@@ -252,21 +326,20 @@ def build_normal_sector_op(cfg: EDConfig, sec: Sector, hloc: np.ndarray,
     # ---- non-local Kronecker factors ---------------------------------
     nl_a: List[np.ndarray] = []
     nl_b: List[np.ndarray] = []
-    eye_u, eye_d = np.eye(du), np.eye(dd)
     if norb > 1 and np.any(um.jx != 0):
         # S-E: Jx[a,b] [c^+_a c_b]_up ⊗ [c^+_b c_a]_dw  (H_non_local.f90)
         for a in range(norb):
             for b in range(norb):
                 if a != b and um.jx[a, b] != 0.0:
-                    nl_a.append(_hop_matrix(ups, ns, [(a, b, um.jx[a, b])], du))
-                    nl_b.append(_hop_matrix(dws, ns, [(b, a, 1.0)], dd))
+                    nl_a.append(_hop_perm(ups, ns, a, b, um.jx[a, b]))
+                    nl_b.append(_hop_perm(dws, ns, b, a, 1.0))
     if norb > 1 and np.any(um.jp != 0):
         # P-H: Jp[a,b] [c^+_a c_b]_up ⊗ [c^+_a c_b]_dw
         for a in range(norb):
             for b in range(norb):
                 if a != b and um.jp[a, b] != 0.0:
-                    nl_a.append(_hop_matrix(ups, ns, [(a, b, um.jp[a, b])], du))
-                    nl_b.append(_hop_matrix(dws, ns, [(a, b, 1.0)], dd))
+                    nl_a.append(_hop_perm(ups, ns, a, b, um.jp[a, b]))
+                    nl_b.append(_hop_perm(dws, ns, a, b, 1.0))
     for t in um.sundry:
         # split the op string per spin, preserving per-spin application order
         # (per-spin Jordan-Wigner convention, reference H_sundry.f90)
@@ -274,19 +347,17 @@ def build_normal_sector_op(cfg: EDConfig, sec: Sector, hloc: np.ndarray,
             raise ValueError("normal mode forbids spin-count-changing operators")
         up_ops = [(k, o) for (k, o, s) in t.ops if s == SPIN_UP]
         dw_ops = [(k, o) for (k, o, s) in t.ops if s == SPIN_DW]
-        a_m = _string_matrix(ups, ns, up_ops)
-        b_m = _string_matrix(dws, ns, dw_ops)
         coeff = np.real(t.coeff)
-        # keep sundry terms as explicit Kronecker factors (identity side
-        # materialized) so <H_sundry> is recoverable for the energy
-        # observables (local_energy_normal sundry block)
-        nl_a.append(coeff * (a_m if a_m is not None else eye_u))
-        nl_b.append(b_m if b_m is not None else eye_d)
+        nl_a.append(_string_perm(ups, ns, up_ops, coeff))
+        nl_b.append(_string_perm(dws, ns, dw_ops, 1.0))
 
-    op = NormalSectorOp(
-        sector=sec, d=d, hup=hup, hdw=hdw,
-        nl_a=np.stack(nl_a) if nl_a else None,
-        nl_b=np.stack(nl_b) if nl_b else None)
+    nl_perm = None
+    if nl_a:
+        nl_perm = (np.stack([s for s, _ in nl_a]),
+                   np.stack([g for _, g in nl_a]),
+                   np.stack([s for s, _ in nl_b]),
+                   np.stack([g for _, g in nl_b]))
+    op = NormalSectorOp(sector=sec, d=d, hup=hup, hdw=hdw, nl_perm=nl_perm)
 
     # ---- phonons ------------------------------------------------------
     if cfg.nph > 0:

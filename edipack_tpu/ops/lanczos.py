@@ -110,11 +110,18 @@ def lanczos_tridiag(matvec, v0, m: int):
 def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
                  m: Optional[int] = None, tol: float = 1e-12,
                  max_restarts: int = 60, v0: Optional[np.ndarray] = None,
-                 key=None) -> Tuple[np.ndarray, np.ndarray]:
+                 key=None, refine_matvec: Optional[Callable] = None
+                 ) -> Tuple[np.ndarray, np.ndarray]:
     """``nev`` lowest eigenpairs by restarted deflated Lanczos.
 
     Host-driven outer loop (a handful of restarts), jitted inner sweeps.
-    Returns (evals[nev], evecs[nev, dim]) sorted ascending."""
+    Returns (evals[nev], evecs[nev, dim]) sorted ascending.
+
+    ``refine_matvec``: exact (f64) matvec for a final Rayleigh-Ritz
+    rotation of the converged subspace — used when ``matvec`` itself runs
+    in reduced precision (MixedKronMatvec): the subspace converges under
+    the fast matvec, then nev exact matvecs restore full-precision
+    eigenvalues (error ~ ||r||^2 / gap instead of ~ matvec noise)."""
     nev = min(nev, dim)
     if dim <= 128:
         # tiny spaces: materialize H by matvec columns and eigh directly —
@@ -200,6 +207,42 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
     order = np.argsort(locked_vals[:nev])
     vals = np.asarray(locked_vals)[order]
     vecs = jnp.stack([locked_vecs[i] for i in order])
+
+    if refine_matvec is not None and vecs.shape[0] > 0:
+        # The reduced-precision Lanczos delivers vectors with error
+        # ~ matvec_noise/gap; a bare Rayleigh quotient would leave an
+        # eigenvalue error quadratic in that. Polish each vector with a
+        # short *exact* Lanczos sweep seeded from it (deflating the already
+        # polished ones) — a near-converged start needs only a few exact
+        # matvecs to reach f64 accuracy.
+        m_ref = min(16, dim - 1) or 1
+        pol_vals, pol_vecs = [], []
+        for i in range(vecs.shape[0]):
+            lk = (jnp.stack(pol_vecs) if pol_vecs
+                  else jnp.zeros((0, dim), vecs.dtype))
+            a2, b2, V2 = lanczos_sweep(refine_matvec, vecs[i], m_ref, lk)
+            a2 = np.asarray(a2)
+            b2 = np.asarray(b2)
+            k_eff = m_ref
+            tiny = 1e-13 * max(1.0, np.abs(a2).max())
+            for j in range(m_ref - 1):
+                if b2[j] < tiny:
+                    k_eff = j + 1
+                    break
+            t = np.diag(a2[:k_eff])
+            if k_eff > 1:
+                t += np.diag(b2[:k_eff - 1], 1) + np.diag(b2[:k_eff - 1], -1)
+            tv, tu = np.linalg.eigh(t)
+            vec = jnp.asarray(tu[:, 0], vecs.dtype) @ V2[:k_eff]
+            if pol_vecs:
+                lk = jnp.stack(pol_vecs)
+                vec = vec - (jnp.conj(lk) @ vec) @ lk
+            vec = vec / jnp.linalg.norm(vec)
+            pol_vals.append(float(tv[0]))
+            pol_vecs.append(vec)
+        order = np.argsort(pol_vals)
+        vals = np.asarray(pol_vals)[order]
+        vecs = jnp.stack([pol_vecs[i] for i in order])
     return vals, vecs
 
 

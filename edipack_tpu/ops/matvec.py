@@ -30,49 +30,207 @@ import numpy as np
 from ..models.normal import NormalSectorOp
 
 
+def _perm_factor(mats: np.ndarray):
+    """Decompose a stack of ≤1-nnz-per-row matrices (signed partial
+    permutations — every c/c† operator-string Kron factor has this form)
+    into (src int32, sign) arrays; returns None if any row has >1 nnz."""
+    k, nrow, _ = mats.shape
+    src = np.zeros((k, nrow), dtype=np.int32)
+    sgn = np.zeros((k, nrow), dtype=mats.dtype)
+    for i in range(k):
+        rows, cols = np.nonzero(mats[i])
+        if len(np.unique(rows)) != len(rows):
+            return None
+        src[i, rows] = cols
+        sgn[i, rows] = mats[i, rows, cols]
+    return src, sgn
+
+
 class KronMatvec:
-    """H·V = D⊙V + V@Hupᵀ + Hdw@V + Σ_k B_k@V@A_kᵀ (+ phonon terms)."""
+    """H·V = D⊙V + V@Hupᵀ + Hdw@V + Σ_k B_k@V@A_kᵀ (+ phonon terms).
+
+    The nonlocal factors A_k/B_k (spin-exchange, pair-hopping, sundry U_ijkl
+    strings — reference stored/H_non_local.f90) are signed partial
+    permutations, so their term is applied as two chained axis gathers plus a
+    rank-1 sign mask instead of two dense matmuls — O(dim) HBM traffic
+    instead of O(dim^1.5) MXU FLOPs."""
 
     def __init__(self, op: NormalSectorOp, dtype=jnp.float64,
                  sharding: Optional[jax.sharding.NamedSharding] = None):
         self.shape3 = (op.sector.dim_ph, op.hdw.shape[0], op.hup.shape[0])
         self.dim = int(np.prod(self.shape3))
         self.dtype = dtype
-        put = (lambda x: jax.device_put(jnp.asarray(x, dtype))) if sharding is None \
-            else (lambda x: jax.device_put(jnp.asarray(x, dtype)))
-        self.d = put(op.d)
-        self.hup_t = put(op.hup.T)
-        self.hdw = put(op.hdw)
-        self.nl_a = put(np.swapaxes(op.nl_a, 1, 2)) if op.nl_a is not None else None
-        self.nl_b = put(op.nl_b) if op.nl_b is not None else None
-        self.has_ph = op.ph_mat is not None
-        if self.has_ph:
-            self.ph_mat = put(op.ph_mat)
-            self.ph_x = put(op.ph_x)
-            self.eph_d = put(op.eph_d)
-            self.eph_up_t = put(op.eph_up.T)
-            self.eph_dw = put(op.eph_dw)
+        put = lambda x: jax.device_put(jnp.asarray(x, dtype))
+        ops = {"d": put(op.d), "hup_t": put(op.hup.T), "hdw": put(op.hdw)}
+        if getattr(op, "nl_perm", None) is not None:
+            src_a, sgn_a, src_b, sgn_b = op.nl_perm
+            ops["nl_ua"] = jax.device_put(jnp.asarray(src_a))
+            ops["nl_sa"] = put(sgn_a)
+            ops["nl_eb"] = jax.device_put(jnp.asarray(src_b))
+            ops["nl_sb"] = put(sgn_b)
+        elif getattr(op, "nl_a", None) is not None:
+            pa = _perm_factor(op.nl_a)
+            pb = _perm_factor(op.nl_b)
+            if pa is not None and pb is not None:
+                ops["nl_ua"] = jax.device_put(jnp.asarray(pa[0]))
+                ops["nl_sa"] = put(pa[1])
+                ops["nl_eb"] = jax.device_put(jnp.asarray(pb[0]))
+                ops["nl_sb"] = put(pb[1])
+            else:
+                ops["nl_a"] = put(np.swapaxes(op.nl_a, 1, 2))
+                ops["nl_b"] = put(op.nl_b)
+        if op.ph_mat is not None:
+            ops["ph_mat"] = put(op.ph_mat)
+            ops["ph_x"] = put(op.ph_x)
+            ops["eph_d"] = put(op.eph_d)
+            ops["eph_up_t"] = put(op.eph_up.T)
+            ops["eph_dw"] = put(op.eph_dw)
+        self.ops = ops
         self.nnz = op.nnz_estimate()
         self._sharding = sharding
 
+    @staticmethod
+    def kernel(ops, v):
+        """Pure matvec on the (DimPh, DimDw, DimUp) tensor form; ``ops`` is
+        the operand pytree (jit over this directly for explicit-operand
+        compilation, e.g. bench.py)."""
+        dtype = v.dtype
+        out = ops["d"] * v
+        out = out + v @ ops["hup_t"]
+        out = out + jnp.einsum("de,peu->pdu", ops["hdw"], v,
+                               preferred_element_type=dtype)
+        if "nl_eb" in ops:
+            kk = ops["nl_eb"].shape[0]
+            for k in range(kk):
+                t = jnp.take(v, ops["nl_eb"][k], axis=1)
+                t = jnp.take(t, ops["nl_ua"][k], axis=2)
+                out = out + t * (ops["nl_sb"][k][None, :, None] *
+                                 ops["nl_sa"][k][None, None, :])
+        elif "nl_a" in ops:
+            out = out + jnp.einsum("kde,peu,kuv->pdv", ops["nl_b"], v,
+                                   ops["nl_a"], preferred_element_type=dtype)
+        if "ph_mat" in ops:
+            out = out + jnp.einsum("pq,qdu->pdu", ops["ph_mat"], v,
+                                   preferred_element_type=dtype)
+            ev = ops["eph_d"] * v + v @ ops["eph_up_t"] \
+                + jnp.einsum("de,peu->pdu", ops["eph_dw"], v,
+                             preferred_element_type=dtype)
+            out = out + jnp.einsum("pq,qdu->pdu", ops["ph_x"], ev,
+                                   preferred_element_type=dtype)
+        return out
+
+    # backward-compatible operand attributes (tests, mesh sharding helpers)
+    def __getattr__(self, name):
+        ops = self.__dict__.get("ops")
+        if ops is not None and name in ops:
+            return ops[name]
+        if name in ("nl_a", "nl_b", "ph_mat", "ph_x", "eph_d", "eph_up_t",
+                    "eph_dw"):
+            return None
+        raise AttributeError(name)
+
+    @property
+    def has_ph(self) -> bool:
+        return "ph_mat" in self.ops
+
     def apply3(self, v):
         """Matvec on the (DimPh, DimDw, DimUp) tensor form."""
-        out = self.d * v
-        out = out + v @ self.hup_t
-        out = out + jnp.einsum("de,peu->pdu", self.hdw, v,
-                               preferred_element_type=self.dtype)
-        if self.nl_a is not None:
-            out = out + jnp.einsum("kde,peu,kuv->pdv", self.nl_b, v, self.nl_a,
-                                   preferred_element_type=self.dtype)
-        if self.has_ph:
-            out = out + jnp.einsum("pq,qdu->pdu", self.ph_mat, v,
-                                   preferred_element_type=self.dtype)
-            ev = self.eph_d * v + v @ self.eph_up_t \
-                + jnp.einsum("de,peu->pdu", self.eph_dw, v,
-                             preferred_element_type=self.dtype)
-            out = out + jnp.einsum("pq,qdu->pdu", self.ph_x, ev,
-                                   preferred_element_type=self.dtype)
-        return out
+        return KronMatvec.kernel(self.ops, v)
+
+    def __call__(self, v):
+        v3 = v.reshape(self.shape3)
+        if self._sharding is not None:
+            v3 = jax.lax.with_sharding_constraint(v3, self._sharding)
+        out = self.apply3(v3)
+        if self._sharding is not None:
+            out = jax.lax.with_sharding_constraint(out, self._sharding)
+        return out.reshape(-1)
+
+
+def _split2(x):
+    """Double-single decomposition: x ≈ hi + lo with hi, lo f32."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+class MixedKronMatvec:
+    """f64-in/f64-out sector matvec computed in double-single f32 on the MXU.
+
+    TPU f64 matmuls are VPU-emulated (~70x slower than f32); this operator
+    splits H and v into (hi, lo) f32 pairs and evaluates
+    H·v ≈ Hhi·vhi (f32 HIGHEST) + Hhi·vlo + Hlo·vhi, achieving ~3e-7
+    relative matvec error at a fraction of the f64 cost. Pair with an exact
+    f64 Rayleigh-Ritz refinement of the converged subspace
+    (ops.lanczos.eigsh_lowest refine_matvec) for full-precision eigenvalues.
+    """
+
+    def __init__(self, op: NormalSectorOp,
+                 sharding: Optional[jax.sharding.NamedSharding] = None):
+        base = KronMatvec(op, dtype=jnp.float32, sharding=sharding)
+        self.shape3 = base.shape3
+        self.dim = base.dim
+        self.dtype = jnp.float64
+        self.nnz = base.nnz
+        self._sharding = sharding
+        ops = dict(base.ops)
+        src = {"hup_t": op.hup.T, "hdw": op.hdw, "d": op.d}
+        if op.ph_mat is not None:
+            src.update({"eph_up_t": op.eph_up.T, "eph_dw": op.eph_dw,
+                        "eph_d": op.eph_d, "ph_mat": op.ph_mat,
+                        "ph_x": op.ph_x})
+        # lo-parts of the dense factors and diagonals
+        for name, arr in src.items():
+            hi, lo = _split2(jnp.asarray(np.asarray(arr), jnp.float64))
+            ops[name] = jax.device_put(hi)
+            ops[name + "_lo"] = jax.device_put(lo)
+        self.ops = ops
+
+    @staticmethod
+    def kernel(ops, v64):
+        vhi, vlo = _split2(v64)
+        hp = jax.lax.Precision.HIGHEST
+        # main terms (f32, HIGHEST matmul accumulation)
+        main = ops["d"] * vhi
+        main = main + jnp.einsum("pdu,uv->pdv", vhi, ops["hup_t"], precision=hp)
+        main = main + jnp.einsum("de,peu->pdu", ops["hdw"], vhi, precision=hp)
+        # first-order corrections (DEFAULT precision is ample: they are
+        # already ~1e-7 relative)
+        corr = ops["d"] * vlo + ops["d_lo"] * vhi
+        corr = corr + vlo @ ops["hup_t"] + vhi @ ops["hup_t_lo"]
+        corr = corr + jnp.einsum("de,peu->pdu", ops["hdw"], vlo)
+        corr = corr + jnp.einsum("de,peu->pdu", ops["hdw_lo"], vhi)
+        if "nl_eb" in ops:
+            for k in range(ops["nl_eb"].shape[0]):
+                sgn = (ops["nl_sb"][k][None, :, None] *
+                       ops["nl_sa"][k][None, None, :])
+                for src, dst in ((vhi, "main"), (vlo, "corr")):
+                    t = jnp.take(src, ops["nl_eb"][k], axis=1)
+                    t = jnp.take(t, ops["nl_ua"][k], axis=2) * sgn
+                    if dst == "main":
+                        main = main + t
+                    else:
+                        corr = corr + t
+        elif "nl_a" in ops:
+            main = main + jnp.einsum("kde,peu,kuv->pdv", ops["nl_b"], vhi,
+                                     ops["nl_a"], precision=hp)
+            corr = corr + jnp.einsum("kde,peu,kuv->pdv", ops["nl_b"], vlo,
+                                     ops["nl_a"])
+        if "ph_mat" in ops:
+            main = main + jnp.einsum("pq,qdu->pdu", ops["ph_mat"], vhi,
+                                     precision=hp)
+            corr = corr + jnp.einsum("pq,qdu->pdu", ops["ph_mat"], vlo)
+            corr = corr + jnp.einsum("pq,qdu->pdu", ops["ph_mat_lo"], vhi)
+            ev = ops["eph_d"] * vhi + vhi @ ops["eph_up_t"] \
+                + jnp.einsum("de,peu->pdu", ops["eph_dw"], vhi, precision=hp)
+            ev = ev + ops["eph_d"] * vlo + vlo @ ops["eph_up_t"] \
+                + jnp.einsum("de,peu->pdu", ops["eph_dw"], vlo)
+            main = main + jnp.einsum("pq,qdu->pdu", ops["ph_x"], ev,
+                                     precision=hp)
+        return main.astype(jnp.float64) + corr.astype(jnp.float64)
+
+    def apply3(self, v):
+        return MixedKronMatvec.kernel(self.ops, v)
 
     def __call__(self, v):
         v3 = v.reshape(self.shape3)

@@ -46,18 +46,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_kron_matvec(mv, mesh: Mesh):
-    """Install the dw sharding on a KronMatvec's operands and constraint."""
+    """Install the dw sharding on a KronMatvec's operand pytree."""
     sh = sector_sharding(mesh)
     rep = replicated(mesh)
-    mv.d = jax.device_put(mv.d, NamedSharding(mesh, P("dw", None)))
-    mv.hup_t = jax.device_put(mv.hup_t, rep)
-    mv.hdw = jax.device_put(mv.hdw, rep)
-    if mv.nl_a is not None:
-        mv.nl_a = jax.device_put(mv.nl_a, rep)
-        mv.nl_b = jax.device_put(mv.nl_b, rep)
-    if mv.has_ph:
-        for name in ("ph_mat", "ph_x", "eph_up_t", "eph_dw"):
-            setattr(mv, name, jax.device_put(getattr(mv, name), rep))
-        mv.eph_d = jax.device_put(mv.eph_d, NamedSharding(mesh, P("dw", None)))
+    row_sh = NamedSharding(mesh, P("dw", None))
+    row_split = {"d", "eph_d", "d_lo", "eph_d_lo"}
+    mv.ops = {name: jax.device_put(arr, row_sh if name in row_split else rep)
+              for name, arr in mv.ops.items()}
     mv._sharding = sh
     return mv

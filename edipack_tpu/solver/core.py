@@ -209,13 +209,32 @@ def solve_impurity(cfg: EDConfig, hloc: np.ndarray, um: Umatrix,
         from ..parallel.mesh import make_mesh
         _mesh = make_mesh(sec_axis=1)
 
+    platform = _jax.devices()[0].platform
+    use_mixed = (cfg.ed_precision == "float64"
+                 and cfg.ed_mixed_matvec != "never"
+                 and (cfg.ed_mixed_matvec == "always"
+                      or platform in ("tpu", "axon")))
+
     def matvec_builder(sec: Sector) -> KronMatvec:
         if sec.index not in mv_cache:
-            mv = KronMatvec(get_op(sec), dtype=dtype)
-            if (_mesh is not None and sec.dim > 4 * cfg.lanc_dim_threshold
-                    and sec.dim_dw % _ndev == 0):
-                from ..parallel.mesh import shard_kron_matvec
-                mv = shard_kron_matvec(mv, _mesh)
+            shard_it = (_mesh is not None
+                        and sec.dim > 4 * cfg.lanc_dim_threshold
+                        and sec.dim_dw % _ndev == 0)
+            if use_mixed and (cfg.ed_mixed_matvec == "always"
+                              or sec.dim >= (1 << 17)):
+                from ..ops.matvec import MixedKronMatvec
+                mv = MixedKronMatvec(get_op(sec))
+                exact = KronMatvec(get_op(sec), dtype=jnp.float64)
+                if shard_it:
+                    from ..parallel.mesh import shard_kron_matvec
+                    mv = shard_kron_matvec(mv, _mesh)
+                    exact = shard_kron_matvec(exact, _mesh)
+                mv.exact = exact
+            else:
+                mv = KronMatvec(get_op(sec), dtype=dtype)
+                if shard_it:
+                    from ..parallel.mesh import shard_kron_matvec
+                    mv = shard_kron_matvec(mv, _mesh)
             mv_cache[sec.index] = mv
         return mv_cache[sec.index]
 
@@ -233,6 +252,13 @@ def solve_impurity(cfg: EDConfig, hloc: np.ndarray, um: Umatrix,
             dense_cache[isec] = (evals, jnp.asarray(evecs))
         return dense_cache[isec]
 
+    def gf_matvec_builder(sec: Sector):
+        """GF moments stay exact f64 unless ed_mixed_gf opts in."""
+        mv = matvec_builder(sec)
+        if not cfg.ed_mixed_gf and hasattr(mv, "exact"):
+            return mv.exact
+        return mv
+
     with timer.phase("diagonalization"):
         diag = diagonalize(cfg, table, matvec_builder, dense_builder,
                            neigen_override=neigen_override,
@@ -241,8 +267,9 @@ def solve_impurity(cfg: EDConfig, hloc: np.ndarray, um: Umatrix,
     gf = GFMatrix()
     if flag_gf:
         with timer.phase("greens_functions"):
-            gf = build_gf_normal(cfg, table, diag.state_list, matvec_builder,
-                                 dense_eig_cache, all_g=cfg.ed_all_g)
+            gf = build_gf_normal(cfg, table, diag.state_list,
+                                 gf_matvec_builder, dense_eig_cache,
+                                 all_g=cfg.ed_all_g)
 
     with timer.phase("observables"):
         obs = compute_observables_normal(cfg, table, diag.state_list, hloc,
@@ -252,8 +279,8 @@ def solve_impurity(cfg: EDConfig, hloc: np.ndarray, um: Umatrix,
     if flag_gf and (cfg.chispin_flag or cfg.chidens_flag or cfg.chipair_flag
                     or cfg.chiexct_flag):
         from .chi import build_chi_normal
-        chi = build_chi_normal(cfg, table, diag.state_list, matvec_builder,
-                               dense_eig_cache)
+        chi = build_chi_normal(cfg, table, diag.state_list,
+                               gf_matvec_builder, dense_eig_cache)
 
     rdm = None
     if cfg.rdm_flag:

@@ -124,9 +124,15 @@ def diagonalize(cfg: EDConfig, table: SectorTable,
         nev = min(max(neigen[i], 1), mv.dim - 1) or 1
         m = min(mv.dim, max(cfg.lanc_ncv_factor * nev + cfg.lanc_ncv_add,
                             4 * nev + 24, 48))
+        refine = getattr(mv, "exact", None)
+        # mixed-precision matvec: residuals floor at the ~3e-7 matvec noise;
+        # the exact f64 Rayleigh-Ritz refinement recovers the eigenvalues
+        tol = max(cfg.lanc_tolerance, 1e-14) if refine is None \
+            else max(cfg.lanc_tolerance, 2e-6)
         vals, vecs = eigsh_lowest(mv, mv.dim, nev, dtype=mv.dtype, m=m,
-                                  tol=max(cfg.lanc_tolerance, 1e-14),
-                                  max_restarts=max(4, cfg.lanc_niter // m))
+                                  tol=tol,
+                                  max_restarts=max(4, cfg.lanc_niter // m),
+                                  refine_matvec=refine)
         evals_by_sector[i] = vals
         for j in range(len(vals)):
             sl.add(EigenState(float(vals[j]), i, vecs[j]))

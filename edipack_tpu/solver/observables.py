@@ -232,10 +232,16 @@ def compute_observables_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
         op = op_cache.get(st.sector)
         if op is None:
             continue
-        if op.nl_a is not None:
-            va = np.einsum("kuv,pdv->kpdu", op.nl_a, v3)
-            vb = np.einsum("kde,kpeu->kpdu", op.nl_b, va)
-            exp_k = np.einsum("pdu,kpdu->k", np.conj(v3), vb).real
+        if op.nl_perm is not None:
+            # <v| B_k ⊗ A_k |v> with the factors in signed-permutation form:
+            # (B⊗A v)[d,u] = sb[d] sa[u] v[src_b[d], src_a[u]] — two axis
+            # gathers instead of dense kron einsums
+            src_a, sgn_a, src_b, sgn_b = op.nl_perm
+            exp_k = np.zeros(src_a.shape[0])
+            for kk in range(src_a.shape[0]):
+                t = v3[:, src_b[kk], :][:, :, src_a[kk]]
+                t = t * (sgn_b[kk][None, :, None] * sgn_a[kk][None, None, :])
+                exp_k[kk] = float(np.sum(np.conj(v3) * t).real)
             epot += float(exp_k.sum())
             # split dse/dph accounting by scanning the Kanamori factor count
             kx = int(np.count_nonzero(um.jx)) if norb > 1 else 0
