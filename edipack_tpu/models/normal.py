@@ -47,6 +47,9 @@ class NormalSectorOp:
     hdw: np.ndarray                # (DimDw, DimDw)
     nl_perm: Optional[Tuple[np.ndarray, np.ndarray,
                             np.ndarray, np.ndarray]] = None
+    # low-rank diagonal factors (ddw, dup, adw, bup): D = ddw (+) dup + adw@bup^T
+    d_factors: Optional[Tuple[np.ndarray, np.ndarray,
+                              np.ndarray, np.ndarray]] = None
     # phonons (None when nph == 0)
     ph_mat: Optional[np.ndarray] = None    # (DimPh, DimPh) w0 b†b + A(b+b†)
     ph_x: Optional[np.ndarray] = None      # (DimPh, DimPh) displacement b+b†
@@ -322,6 +325,10 @@ def build_normal_sector_op(cfg: EDConfig, sec: Sector, hloc: np.ndarray,
     # cross-spin density-density: Σ_ab (δ_ab uloc_a + ust_ab) ndw_b nup_a
     mx = np.diag(um.uloc) + ust_nd
     d = d_dw[:, None] + d_up[None, :] + const + o_dw @ mx @ o_up.T
+    # low-rank factorization of the diagonal (consumed by ops.fused_normal:
+    # D = ddw (+) dup + adw @ bup^T), avoids storing/streaming the dense
+    # (DimDw, DimUp) diagonal in the fused device kernel
+    d_factors = (d_dw + const, d_up, o_dw @ mx, o_up)
 
     # ---- non-local Kronecker factors ---------------------------------
     nl_a: List[np.ndarray] = []
@@ -358,6 +365,7 @@ def build_normal_sector_op(cfg: EDConfig, sec: Sector, hloc: np.ndarray,
                    np.stack([s for s, _ in nl_b]),
                    np.stack([g for _, g in nl_b]))
     op = NormalSectorOp(sector=sec, d=d, hup=hup, hdw=hdw, nl_perm=nl_perm)
+    op.d_factors = d_factors
 
     # ---- phonons ------------------------------------------------------
     if cfg.nph > 0:
