@@ -116,6 +116,25 @@ class NlRun:
     lu: int
 
 
+def padded_block_tables(vals: np.ndarray, src: np.ndarray, ptr: np.ndarray,
+                        nb: int, nmax: Optional[int] = None
+                        ) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Re-pack block-CSC (vals, src, ptr) into dense padded tables for the
+    static-loop kernel: vals2 (nb, NMAX, BLK, BLK) with zero blocks in the
+    padding slots, src2 (nb, NMAX) int32 (padding points at block 0 — the
+    zero value block makes the contribution vanish)."""
+    deg = np.diff(ptr)
+    if nmax is None:
+        nmax = int(deg.max()) if len(deg) and deg.max() > 0 else 1
+    vals2 = np.zeros((nb, nmax, BLK, BLK), np.float32)
+    src2 = np.zeros((nb, nmax), np.int32)
+    for j in range(nb):
+        for s, m in enumerate(range(ptr[j], ptr[j + 1])):
+            vals2[j, s] = vals[m]
+            src2[j, s] = src[m]
+    return vals2, src2, nmax
+
+
 @dataclass
 class FusedNormalOp:
     """Block-compacted, imp-MSB-ordered operator data for the fused kernel.
@@ -175,6 +194,39 @@ class FusedNormalOp:
             out[r.dd0:r.dd0 + r.ld, r.du0:r.du0 + r.lu] += \
                 r.val * v[r.sd0:r.sd0 + r.ld, r.su0:r.su0 + r.lu]
         return out
+
+    # ---- layouts -------------------------------------------------------
+    def to_blocked(self, v2: np.ndarray) -> np.ndarray:
+        """(ddp, dup) 2D layout -> column-blocked kernel layout
+        (nbu*ddp, BLK): V3[(j*ddp + d), r] = V[d, j*BLK + r]."""
+        nbu = self.dup // BLK
+        return np.ascontiguousarray(
+            v2.reshape(self.ddp, nbu, BLK).swapaxes(0, 1)
+            .reshape(nbu * self.ddp, BLK))
+
+    def from_blocked(self, v3: np.ndarray) -> np.ndarray:
+        nbu = self.dup // BLK
+        return np.ascontiguousarray(
+            v3.reshape(nbu, self.ddp, BLK).swapaxes(0, 1)
+            .reshape(self.ddp, self.dup))
+
+    def internal_index_map(self) -> np.ndarray:
+        """int32 (dd*du,): flat original index (d*du + u) -> flat position
+        in the blocked internal layout.  Used for device-side layout
+        conversion:  v_int.ravel()[map] == v_orig.ravel()  (gather), and
+        zeros(N_int).at[map].set(v_orig) (scatter)."""
+        ipos_dw = np.empty(self.dd, np.int64)
+        ipos_dw[self.perm_dw] = np.arange(self.dd)
+        ipos_up = np.empty(self.du, np.int64)
+        ipos_up[self.perm_up] = np.arange(self.du)
+        d = ipos_dw[:, None]
+        u = ipos_up[None, :]
+        idx = ((u // BLK) * self.ddp + d) * BLK + (u % BLK)
+        return idx.reshape(-1).astype(np.int32)
+
+    @property
+    def n_internal(self) -> int:
+        return (self.dup // BLK) * self.ddp * BLK
 
     def to_internal(self, v: np.ndarray) -> np.ndarray:
         """(dd, du) original-layout -> padded internal layout."""

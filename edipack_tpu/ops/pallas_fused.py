@@ -1,34 +1,39 @@
-"""Fused Pallas TPU kernel for the normal-mode sector matvec.
+"""Fused Pallas TPU kernels for the normal-mode sector matvec.
 
-Replaces the reference's distributed CSR SpMV hot loop
-(ED_NORMAL/ED_HAMILTONIAN_NORMAL_STORED_HxV.f90:765-1082) with a single
-VMEM-resident kernel built from ops.fused_normal metadata:
+TPU-native replacement of the reference's distributed CSR SpMV hot loop
+(ED_NORMAL/ED_HAMILTONIAN_NORMAL_STORED_HxV.f90:765-1082), built from
+ops.fused_normal metadata (imp-MSB ordering, block-compacted factors,
+low-rank diagonal, single-run non-local terms):
 
     W = s * ( D (.) V  +  V @ Hup^T  +  Hdw @ V  +  nl shifts )
 
-* The sector tensor V (DimDw', DimUp') and the result W live in VMEM
-  scratch for the whole kernel (v5e VMEM is ~128 MB; sectors up to ~45 MB
-  qualify — the two-orbital Kanamori flagship sector is 47 MB padded).
-* Hup/Hdw enter as block-compacted 128x128 nonzero blocks (15-40 % fill
-  under the imp-MSB ordering) and are applied as statically-unrolled MXU
-  matmuls — a ~4x FLOP cut over the dense Kronecker matmuls and ~zero HBM
-  traffic per iteration.
-* The diagonal is applied from its rank-<=8 factorization D = a @ b^T.
-* Non-local Kanamori terms (Jx/Jp) are single rectangle shifts in the
-  imp-MSB ordering: two static slice-adds each.
-* ``niter`` power-type iterations run inside ONE kernel launch
-  (grid=(niter,)): each grid step computes W = H V / ||V_prev|| with the
-  norm accumulated in SMEM, so the per-call dispatch cost amortizes away.
-  niter=1 gives a plain matvec for the Lanczos drivers.
+Design (column-block grid):
 
-The same kernel body serves the double-single f64 path: call it three
-times with (H_hi, v_hi), (H_hi, v_lo), (H_lo, v_hi) operand sets and sum
-in f64 (see ops.matvec.MixedKronMatvec for the error analysis).
+* Internal vector layout is **column-blocked**: V3[(j*ddp + d), r] =
+  V[d, j*BLK + r].  All dynamic indexing then happens on the sublane-major
+  axis (fully supported by Mosaic); lane offsets are static.
+* grid=(nbu,): each step produces one 128-wide column block of W.  The
+  whole V3 (<= ~45 MB) stays VMEM-resident; v5e VMEM is 128 MB.
+* Factor blocks are padded to a fixed per-row degree NMAX and applied as
+  ONE large-K MXU matmul per column block (up factor) / per 128-row block
+  (dw factor) after cheap VMEM block gathers — zero value-blocks in the
+  padding slots null their contribution.
+* The diagonal is applied from its rank-<=8 factorization D = a @ b^T.
+* Non-local Kanamori terms (Jx/Jp) are rectangle shifts: static lane
+  shift delta = (su0-du0) mod 128 + a dynamic source-block select, masked
+  by the rectangle bounds.
+* ``FusedPower`` runs niter chained (matvec + normalize) steps in one
+  kernel launch (grid=(niter, nbu)) with the normalization lazily folded
+  into the next step (exactly the  w = H v; v = w/||w||  sequence).
+
+Matmul precision: 'default' (one-pass bf16, matching the engine's f32
+XLA path on TPU) or 'highest' (full f32).  The double-single f64 solver
+path composes three kernel calls — see MixedFusedMatvec.
 """
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,193 +41,247 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_normal import BLK, FusedNormalOp
+from .fused_normal import BLK, FusedNormalOp, padded_block_tables
 
-_INTERPRET = False  # set True (tests) to run kernels in interpreter mode
+_INTERPRET = False  # flip in tests to run kernels interpreted
 
 
-def _apply_terms(fop: FusedNormalOp, upv_ref, dwv_ref, da_ref, db_ref,
-                 v_ref, w_ref, scale):
-    """w = scale * H v with all operands resident in VMEM. Static unroll."""
+def _clip(x, lo, hi):
+    return jnp.minimum(jnp.maximum(x, lo), hi)
+
+
+def _column_block(fop: FusedNormalOp, nmu: int, nmd: int, prec,
+                  j, scale,
+                  upsrc_ref, dwsrc_ref, upv_ref, dwv_ref, da_ref, db_ref,
+                  v3_ref, gup_ref, gdw_ref):
+    """Compute column block j of  scale * H V  from VMEM-resident V3.
+
+    Returns an (ddp, BLK) value."""
+    ddp = fop.ddp
     nbu = fop.dup // BLK
     nbd = fop.ddp // BLK
-    up_ptr, up_src = fop.up_ptr, fop.up_src
-    dw_ptr, dw_src = fop.dw_ptr, fop.dw_src
 
-    # diagonal: D = a @ b^T, applied per up column-block
-    a = da_ref[:]                             # (ddp, 8)
-    for j in range(nbu):
-        bj = db_ref[j * BLK:(j + 1) * BLK, :]  # (128, 8)
-        dcol = jax.lax.dot_general(
-            a, bj, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)          # (ddp, 128)
-        acc = dcol * v_ref[:, j * BLK:(j + 1) * BLK]
-        # up factor: acc += V[:, kB] @ HupT[kB, jB]
-        for m in range(int(up_ptr[j]), int(up_ptr[j + 1])):
-            k = int(up_src[m])
-            acc = acc + jnp.dot(
-                v_ref[:, k * BLK:(k + 1) * BLK],
-                upv_ref[m * BLK:(m + 1) * BLK, :],
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-        w_ref[:, j * BLK:(j + 1) * BLK] = acc * scale
+    vj = v3_ref[pl.ds(j * ddp, ddp), :]                      # (ddp, BLK)
 
-    # dw factor: W[rB, :] += s * Hdw[rB, kB] @ V[kB, :]
-    # (dw_vals[m] stores Hdw^T[kB, rB] = Hdw[rB, kB]^T -> contract axis 0)
+    # ---- diagonal (low-rank) -----------------------------------------
+    dbj = db_ref[pl.ds(j * BLK, BLK), :]                      # (BLK, R)
+    dcol = jax.lax.dot_general(
+        da_ref[:], dbj, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                  # (ddp, BLK)
+    acc = dcol * vj
+
+    # ---- up factor: one (ddp, nmu*BLK) @ (nmu*BLK, BLK) matmul --------
+    for s in range(nmu):
+        k = upsrc_ref[j, s]
+        gup_ref[:, s * BLK:(s + 1) * BLK] = v3_ref[pl.ds(k * ddp, ddp), :]
+    upb = upv_ref[pl.ds(j * (nmu * BLK), nmu * BLK), :]
+    acc = acc + jnp.dot(gup_ref[:], upb,
+                        preferred_element_type=jnp.float32, precision=prec)
+
+    # ---- dw factor: per 128-row block, one (nmd*BLK)-contraction ------
     for r in range(nbd):
-        ms = list(range(int(dw_ptr[r]), int(dw_ptr[r + 1])))
-        if not ms:
-            continue
-        acc = None
-        for m in ms:
-            k = int(dw_src[m])
-            t = jax.lax.dot_general(
-                dwv_ref[m * BLK:(m + 1) * BLK, :],
-                v_ref[k * BLK:(k + 1) * BLK, :],
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)      # (128, dup)
-            acc = t if acc is None else acc + t
-        w_ref[r * BLK:(r + 1) * BLK, :] = (
-            w_ref[r * BLK:(r + 1) * BLK, :] + acc * scale)
+        for s in range(nmd):
+            k = dwsrc_ref[r, s]
+            gdw_ref[s * BLK:(s + 1) * BLK, :] = \
+                v3_ref[pl.ds(j * ddp + k * BLK, BLK), :]
+        dwb = dwv_ref[pl.ds(r * (nmd * BLK), nmd * BLK), :]
+        t = jax.lax.dot_general(
+            dwb, gdw_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        acc = acc.at[r * BLK:(r + 1) * BLK, :].add(t)
 
-    # non-local rectangle shifts (static slices)
-    for rn in fop.nl_runs:
-        w_ref[rn.dd0:rn.dd0 + rn.ld, rn.du0:rn.du0 + rn.lu] = (
-            w_ref[rn.dd0:rn.dd0 + rn.ld, rn.du0:rn.du0 + rn.lu]
-            + (rn.val) * scale
-            * v_ref[rn.sd0:rn.sd0 + rn.ld, rn.su0:rn.su0 + rn.lu])
+    # ---- non-local rectangle shifts -----------------------------------
+    if fop.nl_runs:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1) + j * BLK
+        for rn in fop.nl_runs:
+            off = rn.su0 - rn.du0
+            q, delta = divmod(off, BLK)
+            b0 = _clip(j + q, 0, nbu - 1)
+            base0 = b0 * ddp + rn.sd0
+            va = v3_ref[pl.ds(base0, rn.ld), :]
+            if delta:
+                b1 = _clip(j + q + 1, 0, nbu - 1)
+                base1 = b1 * ddp + rn.sd0
+                vb = v3_ref[pl.ds(base1, rn.ld), :]
+                t = jnp.concatenate([va[:, delta:], vb[:, :delta]], axis=1)
+            else:
+                t = va
+            mask = ((lane >= rn.du0) & (lane < rn.du0 + rn.lu)
+                    ).astype(jnp.float32)
+            acc = acc.at[rn.dd0:rn.dd0 + rn.ld, :].add(rn.val * (t * mask))
+
+    return acc * scale
 
 
-def _power_kernel(fop: FusedNormalOp, niter: int,
-                  upv_ref, dwv_ref, da_ref, db_ref, vin_hbm, out_hbm,
-                  norms_ref, va, vb, ssq_ref, sem):
-    """grid=(niter,) power-iteration steps: parity ping-pong va <-> vb."""
-    i = pl.program_id(0)
+def _matvec_kernel(fop, nmu, nmd, prec,
+                   upsrc_ref, dwsrc_ref, upv_ref, dwv_ref, da_ref, db_ref,
+                   v3_ref, out_ref, gup_ref, gdw_ref):
+    j = pl.program_id(0)
+    out_ref[:] = _column_block(fop, nmu, nmd, prec, j, jnp.float32(1.0),
+                               upsrc_ref, dwsrc_ref, upv_ref, dwv_ref,
+                               da_ref, db_ref, v3_ref, gup_ref, gdw_ref)
 
-    @pl.when(i == 0)
+
+def _power_kernel(fop, nmu, nmd, prec, niter,
+                  upsrc_ref, dwsrc_ref, upv_ref, dwv_ref, da_ref, db_ref,
+                  vin_hbm, w_hbm, norms_ref,
+                  v3_ref, gup_ref, gdw_ref, wcol_ref, ssq_ref, sem, csem):
+    it = pl.program_id(0)
+    j = pl.program_id(1)
+    nbu = fop.dup // BLK
+    ddp = fop.ddp
+
+    @pl.when((it == 0) & (j == 0))
     def _():
-        dma = pltpu.make_async_copy(vin_hbm, va, sem)
+        dma = pltpu.make_async_copy(vin_hbm, v3_ref, csem)
         dma.start()
         dma.wait()
         ssq_ref[0] = 1.0
+        ssq_ref[1] = 0.0
 
     scale = jax.lax.rsqrt(ssq_ref[0])
+    acc = _column_block(fop, nmu, nmd, prec, j, scale,
+                        upsrc_ref, dwsrc_ref, upv_ref, dwv_ref,
+                        da_ref, db_ref, v3_ref, gup_ref, gdw_ref)
+    ssq_ref[1] = ssq_ref[1] + jnp.sum(acc * acc)
+    # write W column block to HBM (wait immediately: the end-of-iteration
+    # W -> V copy-back must observe every column)
+    wcol_ref[:] = acc
+    dma = pltpu.make_async_copy(
+        wcol_ref, w_hbm.at[pl.ds(j * ddp, ddp), :], sem)
+    dma.start()
+    dma.wait()
 
-    def step(src, dst):
-        _apply_terms(fop, upv_ref, dwv_ref, da_ref, db_ref, src, dst, scale)
-        ssq_ref[0] = jnp.sum(dst[:] * dst[:])
-
-    @pl.when(i % 2 == 0)
+    @pl.when(j == nbu - 1)
     def _():
-        step(va, vb)
+        norms_ref[it] = jnp.sqrt(ssq_ref[1])
+        ssq_ref[0] = ssq_ref[1]
+        ssq_ref[1] = 0.0
 
-    @pl.when(i % 2 == 1)
-    def _():
-        step(vb, va)
-
-    norms_ref[i] = jnp.sqrt(ssq_ref[0])
-
-    @pl.when(i == niter - 1)
-    def _():
-        src = va if (niter % 2 == 0) else vb
-        dma = pltpu.make_async_copy(src, out_hbm, sem)
-        dma.start()
-        dma.wait()
+        @pl.when(it < niter - 1)
+        def _():
+            dma2 = pltpu.make_async_copy(w_hbm, v3_ref, csem)
+            dma2.start()
+            dma2.wait()
 
 
-class FusedPowerMatvec:
-    """niter chained (matvec + normalize) steps in one kernel launch.
+class _OperandPack:
+    """Device operands shared by the kernel entry points."""
 
-    ``__call__(v)`` returns (w, norms): w = the UN-normalized H v_last,
-    norms[k] = ||w_k|| — the same sequence as the unfused
-    ``w = H v; v = w/||w||`` loop, with the normalization folded into the
-    next step's matvec (lazy normalization)."""
+    def __init__(self, fop: FusedNormalOp, up_vals=None, dw_vals=None,
+                 diag_a=None, diag_b=None):
+        nbu = fop.dup // BLK
+        nbd = fop.ddp // BLK
+        uv, us, nmu = padded_block_tables(
+            up_vals if up_vals is not None else fop.up_vals,
+            fop.up_src, fop.up_ptr, nbu)
+        dv, dsrc, nmd = padded_block_tables(
+            dw_vals if dw_vals is not None else fop.dw_vals,
+            fop.dw_src, fop.dw_ptr, nbd)
+        self.nmu, self.nmd = nmu, nmd
+        self.upv = jnp.asarray(uv.reshape(-1, BLK))
+        self.dwv = jnp.asarray(dv.reshape(-1, BLK))
+        self.upsrc = jnp.asarray(us)
+        self.dwsrc = jnp.asarray(dsrc)
+        self.da = jnp.asarray(diag_a if diag_a is not None else fop.diag_a,
+                              jnp.float32)
+        db = diag_b if diag_b is not None else fop.diag_b
+        # blocked db: (nbu*BLK, R)
+        self.db = jnp.asarray(np.asarray(db, np.float32))
 
-    def __init__(self, fop: FusedNormalOp, niter: int):
+    def args(self):
+        return (self.upsrc, self.dwsrc, self.upv, self.dwv, self.da, self.db)
+
+
+def _in_specs():
+    return [
+        pl.BlockSpec(memory_space=pltpu.SMEM),    # up src
+        pl.BlockSpec(memory_space=pltpu.SMEM),    # dw src
+        pl.BlockSpec(memory_space=pltpu.VMEM),    # up vals
+        pl.BlockSpec(memory_space=pltpu.VMEM),    # dw vals
+        pl.BlockSpec(memory_space=pltpu.VMEM),    # diag a
+        pl.BlockSpec(memory_space=pltpu.VMEM),    # diag b
+    ]
+
+
+class FusedMatvec:
+    """Single  W3 = H V3  on the blocked internal layout (nbu*ddp, BLK)."""
+
+    def __init__(self, fop: FusedNormalOp, precision: str = "default",
+                 nl_vals: Optional[List[float]] = None,
+                 up_vals=None, dw_vals=None, diag_a=None, diag_b=None):
+        if nl_vals is not None:
+            import copy
+            from .fused_normal import NlRun
+            fop = copy.copy(fop)
+            fop.nl_runs = [NlRun(val=v, dd0=r.dd0, sd0=r.sd0, ld=r.ld,
+                                 du0=r.du0, su0=r.su0, lu=r.lu)
+                           for r, v in zip(fop.nl_runs, nl_vals)]
         self.fop = fop
-        self.niter = niter
-        self.upv = jnp.asarray(fop.up_vals.reshape(-1, BLK))
-        self.dwv = jnp.asarray(fop.dw_vals.reshape(-1, BLK))
-        self.da = jnp.asarray(fop.diag_a)
-        self.db = jnp.asarray(fop.diag_b)
-        kern = functools.partial(_power_kernel, fop, niter)
+        self.pack = _OperandPack(fop, up_vals, dw_vals, diag_a, diag_b)
+        nbu = fop.dup // BLK
+        prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+                else jax.lax.Precision.DEFAULT)
+        kern = functools.partial(_matvec_kernel, fop, self.pack.nmu,
+                                 self.pack.nmd, prec)
         self._call = pl.pallas_call(
             kern,
-            grid=(niter,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # up blocks
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # dw blocks
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # diag a
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # diag b
-                pl.BlockSpec(memory_space=pltpu.ANY),    # v_in (HBM)
+            grid=(nbu,),
+            in_specs=_in_specs() + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((fop.ddp, BLK), lambda j: (j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nbu * fop.ddp, BLK),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((fop.ddp, self.pack.nmu * BLK), jnp.float32),
+                pltpu.VMEM((self.pack.nmd * BLK, BLK), jnp.float32),
             ],
+            interpret=_INTERPRET,
+        )
+
+    def __call__(self, v3):
+        return self._call(*self.pack.args(), v3)
+
+
+class FusedPower:
+    """niter chained (matvec + normalize) steps in one kernel launch.
+
+    __call__(v3) -> (w3, norms): w3 is the UN-normalized H v of the last
+    step; norms[k] = ||H v_k|| — identical sequence to the unfused loop
+    ``w = H v; v = w / ||w||`` (lazy normalization)."""
+
+    def __init__(self, fop: FusedNormalOp, niter: int,
+                 precision: str = "default"):
+        self.fop = fop
+        self.niter = niter
+        self.pack = _OperandPack(fop)
+        nbu = fop.dup // BLK
+        prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+                else jax.lax.Precision.DEFAULT)
+        kern = functools.partial(_power_kernel, fop, self.pack.nmu,
+                                 self.pack.nmd, prec, niter)
+        self._call = pl.pallas_call(
+            kern,
+            grid=(niter, nbu),
+            in_specs=_in_specs() + [pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
                        pl.BlockSpec(memory_space=pltpu.SMEM)),
             out_shape=(
-                jax.ShapeDtypeStruct((fop.ddp, fop.dup), jnp.float32),
+                jax.ShapeDtypeStruct((nbu * fop.ddp, BLK), jnp.float32),
                 jax.ShapeDtypeStruct((niter,), jnp.float32),
             ),
             scratch_shapes=[
-                pltpu.VMEM((fop.ddp, fop.dup), jnp.float32),
-                pltpu.VMEM((fop.ddp, fop.dup), jnp.float32),
-                pltpu.SMEM((1,), jnp.float32),
+                pltpu.VMEM((nbu * fop.ddp, BLK), jnp.float32),
+                pltpu.VMEM((fop.ddp, self.pack.nmu * BLK), jnp.float32),
+                pltpu.VMEM((self.pack.nmd * BLK, BLK), jnp.float32),
+                pltpu.VMEM((fop.ddp, BLK), jnp.float32),
+                pltpu.SMEM((2,), jnp.float32),
+                pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=_INTERPRET,
         )
 
-    def __call__(self, v):
-        return self._call(self.upv, self.dwv, self.da, self.db, v)
-
-
-def _matvec_kernel(fop: FusedNormalOp,
-                   upv_ref, dwv_ref, da_ref, db_ref, v_ref, w_ref):
-    """Single matvec, fully VMEM-visible operands."""
-    _apply_terms(fop, upv_ref, dwv_ref, da_ref, db_ref, v_ref, w_ref,
-                 jnp.float32(1.0))
-
-
-class FusedMatvec:
-    """Single H·v (internal imp-MSB layout, padded (ddp, dup) f32)."""
-
-    def __init__(self, fop: FusedNormalOp,
-                 up_vals: Optional[np.ndarray] = None,
-                 dw_vals: Optional[np.ndarray] = None,
-                 diag_a: Optional[np.ndarray] = None,
-                 diag_b: Optional[np.ndarray] = None,
-                 nl_scale: float = 1.0):
-        """Operand overrides (up_vals/dw_vals/diag_a/diag_b) support the
-        double-single path: pass the _lo parts with the same sparsity
-        pattern. nl_scale rescales the non-local run values likewise."""
-        self.fop = fop
-        if nl_scale != 1.0 or up_vals is not None:
-            import copy
-            fop = copy.copy(fop)
-            if nl_scale != 1.0:
-                from .fused_normal import NlRun
-                fop.nl_runs = [NlRun(val=r.val * nl_scale, dd0=r.dd0,
-                                     sd0=r.sd0, ld=r.ld, du0=r.du0,
-                                     su0=r.su0, lu=r.lu)
-                               for r in self.fop.nl_runs]
-            self.fop = fop
-        self.upv = jnp.asarray(
-            (up_vals if up_vals is not None else fop.up_vals)
-            .reshape(-1, BLK))
-        self.dwv = jnp.asarray(
-            (dw_vals if dw_vals is not None else fop.dw_vals)
-            .reshape(-1, BLK))
-        self.da = jnp.asarray(diag_a if diag_a is not None else fop.diag_a)
-        self.db = jnp.asarray(diag_b if diag_b is not None else fop.diag_b)
-        kern = functools.partial(_matvec_kernel, self.fop)
-        self._call = pl.pallas_call(
-            kern,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((fop.ddp, fop.dup), jnp.float32),
-            interpret=_INTERPRET,
-        )
-
-    def __call__(self, v):
-        return self._call(self.upv, self.dwv, self.da, self.db, v)
+    def __call__(self, v3):
+        return self._call(*self.pack.args(), v3)
