@@ -166,6 +166,7 @@ class EDConfig:
     # converged subspace. "always"/"never" override; GF moments stay exact
     # f64 unless ed_mixed_gf.
     ed_mixed_matvec: str = "auto"   # auto | always | never
+    ed_fused_matvec: str = "auto"   # fused Pallas sector matvec: auto | never
     # GF tridiagonalization also runs on the split-f32 matvec where the
     # matvec is mixed: the ~3e-7 matvec noise enters poles/weights at
     # ~1e-6*||H|| — far below the spectral broadening (eps default 1e-2).
@@ -215,6 +216,8 @@ class EDConfig:
             raise ValueError("phonons not supported in nonsu2 mode")
         if self.ed_mixed_matvec not in ("auto", "always", "never"):
             raise ValueError("ed_mixed_matvec must be auto|always|never")
+        if self.ed_fused_matvec not in ("auto", "always", "never"):
+            raise ValueError("ed_fused_matvec must be auto|always|never")
         if self.jz_basis:
             if self.ed_mode != "nonsu2":
                 raise ValueError("jz_basis requires ed_mode=nonsu2")

@@ -260,6 +260,37 @@ def ed_get_rdm(norbs=None):
     return _R().get_rdm(norbs)
 
 
+def ed_get_reduced_rdm(orbital_mask):
+    """Orbital-subset impurity RDM with fermionic sign bookkeeping
+    (reference get_reduced_rdm, ED_RDM.f90:71-230)."""
+    from .solver.rdm import get_reduced_rdm
+    r = _R()
+    return get_reduced_rdm(r.get_rdm(), orbital_mask, r.cfg.norb)
+
+
+def ed_update_input(name: str, vals):
+    """Runtime update of the whitelisted input fields (reference
+    ed_update_input, ED_INPUT_VARS.f90:887-916): EXC_FIELD, PAIR_FIELD,
+    SPIN_FIELD_X/Y/Z."""
+    s = _S()
+    cfg = s.cfg
+    key = name.upper()
+    vals = list(np.atleast_1d(np.asarray(vals, float)))
+    sizes = {"EXC_FIELD": 4, "PAIR_FIELD": cfg.norb,
+             "SPIN_FIELD_X": cfg.norb, "SPIN_FIELD_Y": cfg.norb,
+             "SPIN_FIELD_Z": cfg.norb}
+    if key not in sizes:
+        raise ValueError("WRONG NAME ON ED_UPDATE_INPUT")
+    if len(vals) != sizes[key]:
+        raise ValueError(f"WRONG SIZE IN ED_UPDATE_{key}")
+    field = key.lower()
+    if key != "EXC_FIELD":
+        cur = list(getattr(cfg, field))
+        cur[:len(vals)] = vals
+        vals = cur
+    s.cfg = cfg.replace(**{field: vals})
+
+
 def ed_get_sp_dm():
     return _R().single_particle_dm
 

@@ -76,13 +76,17 @@ def _permute_perm(src: np.ndarray, sgn: np.ndarray, perm: np.ndarray,
 
 
 def _block_compact(h: np.ndarray, blk: int = BLK
-                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Compact the padded square matrix ``h`` into nonzero (blk x blk)
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Compact the padded square matrix ``h`` (f64) into nonzero (blk x blk)
     blocks grouped by COLUMN-block:  for col-block j the blocks
     vals[ptr[j]:ptr[j+1]] hold h[src[m]*blk:(src[m]+1)*blk, j*blk:(j+1)*blk].
 
     Grouping by column-block serves the right-multiply ``out = x @ h``:
-    out[:, jB] = sum_m x[:, src[m]B] @ vals[m]."""
+    out[:, jB] = sum_m x[:, src[m]B] @ vals[m].
+
+    Returns (vals_hi, vals_lo, src, ptr) with the double-single split
+    h = hi + lo (hi = f32(h), lo = f32(h - hi)) sharing one block pattern —
+    the lo blocks feed the correction call of the mixed-precision path."""
     n = h.shape[0]
     assert n % blk == 0
     nb = n // blk
@@ -97,10 +101,12 @@ def _block_compact(h: np.ndarray, blk: int = BLK
             srcs.append(k)
             vals.append(hb[k, :, j, :])
     if vals:
-        vals_arr = np.stack(vals).astype(np.float32)
+        v64 = np.stack(vals).astype(np.float64)
     else:
-        vals_arr = np.zeros((0, blk, blk), np.float32)
-    return vals_arr, np.asarray(srcs, np.int32), ptr
+        v64 = np.zeros((0, blk, blk), np.float64)
+    hi = v64.astype(np.float32)
+    lo = (v64 - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo, np.asarray(srcs, np.int32), ptr
 
 
 @dataclass
@@ -152,7 +158,7 @@ class FusedNormalOp:
     up_vals: np.ndarray
     up_src: np.ndarray
     up_ptr: np.ndarray
-    # right-multiply factor blocks of Hdw^T in the transposed pass
+    # factor blocks of Hdw^T (per 128-row block of the dw product)
     dw_vals: np.ndarray
     dw_src: np.ndarray
     dw_ptr: np.ndarray
@@ -161,6 +167,13 @@ class FusedNormalOp:
     diag_b: np.ndarray
     nl_runs: List[NlRun]
     nnz: int
+    # double-single lo parts (same block patterns / run list); f64 diag
+    # factors for the correction stack of the mixed-precision path
+    up_vals_lo: Optional[np.ndarray] = None
+    dw_vals_lo: Optional[np.ndarray] = None
+    diag_a64: Optional[np.ndarray] = None
+    diag_b64: Optional[np.ndarray] = None
+    nl_vals64: Optional[np.ndarray] = None
 
     # ---- reference application (tests) --------------------------------
     def dense_hup(self) -> np.ndarray:
@@ -287,27 +300,30 @@ def build_fused_normal(op, norb: int) -> Optional[FusedNormalOp]:
     hdw = np.zeros((ddp, ddp))
     hdw[:dd, :dd] = op.hdw[np.ix_(perm_dw, perm_dw)]
 
-    up_vals, up_src, up_ptr = _block_compact(hup.T)
-    dw_vals, dw_src, dw_ptr = _block_compact(hdw.T)
+    up_vals, up_lo, up_src, up_ptr = _block_compact(hup.T)
+    dw_vals, dw_lo, dw_src, dw_ptr = _block_compact(hdw.T)
 
     ddw, dup_vec, adw, bup = dfac
     r = adw.shape[1]
     if 2 + r > DIAG_RANK:
         return None
-    a = np.zeros((ddp, DIAG_RANK), np.float32)
-    b = np.zeros((dup, DIAG_RANK), np.float32)
-    a[:dd, 0] = ddw[perm_dw]
-    b[:du, 0] = 1.0
-    a[:dd, 1] = 1.0
-    b[:du, 1] = dup_vec[perm_up]
-    a[:dd, 2:2 + r] = adw[perm_dw]
-    b[:du, 2:2 + r] = bup[perm_up]
+    a64 = np.zeros((ddp, DIAG_RANK), np.float64)
+    b64 = np.zeros((dup, DIAG_RANK), np.float64)
+    a64[:dd, 0] = ddw[perm_dw]
+    b64[:du, 0] = 1.0
+    a64[:dd, 1] = 1.0
+    b64[:du, 1] = dup_vec[perm_up]
+    a64[:dd, 2:2 + r] = adw[perm_dw]
+    b64[:du, 2:2 + r] = bup[perm_up]
 
     return FusedNormalOp(
         dd=dd, du=du, ddp=ddp, dup=dup,
         perm_up=perm_up, perm_dw=perm_dw,
         up_vals=up_vals, up_src=up_src, up_ptr=up_ptr,
         dw_vals=dw_vals, dw_src=dw_src, dw_ptr=dw_ptr,
-        diag_a=a, diag_b=b, nl_runs=nl_runs,
-        nnz=op.nnz_estimate(),
+        diag_a=a64.astype(np.float32), diag_b=b64.astype(np.float32),
+        nl_runs=nl_runs, nnz=op.nnz_estimate(),
+        up_vals_lo=up_lo, dw_vals_lo=dw_lo,
+        diag_a64=a64, diag_b64=b64,
+        nl_vals64=np.array([rn.val for rn in nl_runs], np.float64),
     )

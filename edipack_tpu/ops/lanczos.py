@@ -141,6 +141,10 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
             v0 = v0 + 1j * jax.random.normal(jax.random.fold_in(key, 1),
                                              (dim,), dtype=jnp.float64).astype(dtype)
     v0 = jnp.asarray(v0, dtype)
+    if hasattr(matvec, "v0_project"):
+        # padded operator spaces (fused kernel): zero the structural padding
+        # so spurious zero-modes of the pad block never enter the Krylov space
+        v0 = matvec.v0_project(v0)
 
     locked_vecs = []
     locked_vals = []
@@ -193,6 +197,8 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
         else:
             key = jax.random.fold_in(key, restart + 100)
             start = jax.random.normal(key, (dim,), dtype=jnp.float64).astype(dtype)
+            if hasattr(matvec, "v0_project"):
+                start = matvec.v0_project(start)
         nrm = jnp.linalg.norm(start)
         start = jnp.where(nrm > 1e-12, start / nrm, v0)
     else:

@@ -43,41 +43,57 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_normal import BLK, FusedNormalOp, padded_block_tables
 
-_INTERPRET = False  # flip in tests to run kernels interpreted
+_INTERPRET = False  # flip in tests to force interpreter mode
+
+
+def _interpret() -> bool:
+    # interpreter mode off-TPU so the fused path stays testable on the
+    # CPU suite (conftest pins jax_platforms=cpu)
+    return _INTERPRET or jax.default_backend() not in ("tpu", "axon")
 
 
 def _clip(x, lo, hi):
     return jnp.minimum(jnp.maximum(x, lo), hi)
 
 
+def fused_vmem_ok(fop: FusedNormalOp, budget_bytes: int = 118 * 2**20) -> bool:
+    """True when the VMEM-resident working set (V3 + padded factor block
+    tables + column scratch) fits the per-core VMEM budget."""
+    nbu = fop.dup // BLK
+    nbd = fop.ddp // BLK
+    deg_u = int(np.diff(fop.up_ptr).max()) if nbu else 0
+    deg_d = int(np.diff(fop.dw_ptr).max()) if nbd else 0
+    v3 = nbu * fop.ddp * BLK * 4
+    tables = (nbu * max(deg_u, 1) + nbd * max(deg_d, 1)) * BLK * BLK * 4
+    scratch = fop.ddp * max(deg_u, 1) * BLK * 4 + 3 * fop.ddp * BLK * 4
+    return v3 + tables + scratch <= budget_bytes
+
+
 def _column_block(fop: FusedNormalOp, nmu: int, nmd: int, prec,
                   j, scale,
                   upsrc_ref, dwsrc_ref, upv_ref, dwv_ref, da_ref, db_ref,
-                  v3_ref, gup_ref, gdw_ref):
-    """Compute column block j of  scale * H V  from VMEM-resident V3.
-
-    Returns an (ddp, BLK) value."""
+                  v3_ref, gup_ref, gdw_ref, acc_ref):
+    """Write column block j of  scale * H V  (V3 VMEM-resident) into
+    acc_ref (ddp, BLK).  All accumulation is static-slice RMW on the ref
+    (Mosaic has no scatter-add on values)."""
     ddp = fop.ddp
     nbu = fop.dup // BLK
     nbd = fop.ddp // BLK
 
     vj = v3_ref[pl.ds(j * ddp, ddp), :]                      # (ddp, BLK)
 
-    # ---- diagonal (low-rank) -----------------------------------------
+    # ---- diagonal (low-rank) + up factor -------------------------------
     dbj = db_ref[pl.ds(j * BLK, BLK), :]                      # (BLK, R)
     dcol = jax.lax.dot_general(
         da_ref[:], dbj, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)                  # (ddp, BLK)
-    acc = dcol * vj
-
-    # ---- up factor: one (ddp, nmu*BLK) @ (nmu*BLK, BLK) matmul --------
     for s in range(nmu):
         k = upsrc_ref[j, s]
         gup_ref[:, s * BLK:(s + 1) * BLK] = v3_ref[pl.ds(k * ddp, ddp), :]
     upb = upv_ref[pl.ds(j * (nmu * BLK), nmu * BLK), :]
-    acc = acc + jnp.dot(gup_ref[:], upb,
-                        preferred_element_type=jnp.float32, precision=prec)
+    acc_ref[:] = dcol * vj + jnp.dot(
+        gup_ref[:], upb, preferred_element_type=jnp.float32, precision=prec)
 
     # ---- dw factor: per 128-row block, one (nmd*BLK)-contraction ------
     for r in range(nbd):
@@ -89,7 +105,7 @@ def _column_block(fop: FusedNormalOp, nmu: int, nmd: int, prec,
         t = jax.lax.dot_general(
             dwb, gdw_ref[:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
-        acc = acc.at[r * BLK:(r + 1) * BLK, :].add(t)
+        acc_ref[r * BLK:(r + 1) * BLK, :] = acc_ref[r * BLK:(r + 1) * BLK, :] + t
 
     # ---- non-local rectangle shifts -----------------------------------
     if fop.nl_runs:
@@ -109,18 +125,19 @@ def _column_block(fop: FusedNormalOp, nmu: int, nmd: int, prec,
                 t = va
             mask = ((lane >= rn.du0) & (lane < rn.du0 + rn.lu)
                     ).astype(jnp.float32)
-            acc = acc.at[rn.dd0:rn.dd0 + rn.ld, :].add(rn.val * (t * mask))
+            acc_ref[rn.dd0:rn.dd0 + rn.ld, :] = (
+                acc_ref[rn.dd0:rn.dd0 + rn.ld, :] + rn.val * (t * mask))
 
-    return acc * scale
+    acc_ref[:] = acc_ref[:] * scale
 
 
 def _matvec_kernel(fop, nmu, nmd, prec,
                    upsrc_ref, dwsrc_ref, upv_ref, dwv_ref, da_ref, db_ref,
                    v3_ref, out_ref, gup_ref, gdw_ref):
     j = pl.program_id(0)
-    out_ref[:] = _column_block(fop, nmu, nmd, prec, j, jnp.float32(1.0),
-                               upsrc_ref, dwsrc_ref, upv_ref, dwv_ref,
-                               da_ref, db_ref, v3_ref, gup_ref, gdw_ref)
+    _column_block(fop, nmu, nmd, prec, j, jnp.float32(1.0),
+                  upsrc_ref, dwsrc_ref, upv_ref, dwv_ref,
+                  da_ref, db_ref, v3_ref, gup_ref, gdw_ref, out_ref)
 
 
 def _power_kernel(fop, nmu, nmd, prec, niter,
@@ -141,13 +158,12 @@ def _power_kernel(fop, nmu, nmd, prec, niter,
         ssq_ref[1] = 0.0
 
     scale = jax.lax.rsqrt(ssq_ref[0])
-    acc = _column_block(fop, nmu, nmd, prec, j, scale,
-                        upsrc_ref, dwsrc_ref, upv_ref, dwv_ref,
-                        da_ref, db_ref, v3_ref, gup_ref, gdw_ref)
-    ssq_ref[1] = ssq_ref[1] + jnp.sum(acc * acc)
+    _column_block(fop, nmu, nmd, prec, j, scale,
+                  upsrc_ref, dwsrc_ref, upv_ref, dwv_ref,
+                  da_ref, db_ref, v3_ref, gup_ref, gdw_ref, wcol_ref)
+    ssq_ref[1] = ssq_ref[1] + jnp.sum(wcol_ref[:] * wcol_ref[:])
     # write W column block to HBM (wait immediately: the end-of-iteration
     # W -> V copy-back must observe every column)
-    wcol_ref[:] = acc
     dma = pltpu.make_async_copy(
         wcol_ref, w_hbm.at[pl.ds(j * ddp, ddp), :], sem)
     dma.start()
@@ -194,14 +210,22 @@ class _OperandPack:
         return (self.upsrc, self.dwsrc, self.upv, self.dwv, self.da, self.db)
 
 
-def _in_specs():
+def _full(shape, space):
+    """Full-array BlockSpec with an explicit i32-safe index map (default
+    index maps emit i64 literals under jax_enable_x64, which Mosaic
+    rejects: "failed to legalize func.return")."""
+    z = lambda *ids: tuple(ids[0] - ids[0] for _ in shape)
+    return pl.BlockSpec(shape, z, memory_space=space)
+
+
+def _in_specs(pack):
     return [
-        pl.BlockSpec(memory_space=pltpu.SMEM),    # up src
-        pl.BlockSpec(memory_space=pltpu.SMEM),    # dw src
-        pl.BlockSpec(memory_space=pltpu.VMEM),    # up vals
-        pl.BlockSpec(memory_space=pltpu.VMEM),    # dw vals
-        pl.BlockSpec(memory_space=pltpu.VMEM),    # diag a
-        pl.BlockSpec(memory_space=pltpu.VMEM),    # diag b
+        _full(pack.upsrc.shape, pltpu.SMEM),    # up src
+        _full(pack.dwsrc.shape, pltpu.SMEM),    # dw src
+        _full(pack.upv.shape, pltpu.VMEM),      # up vals
+        _full(pack.dwv.shape, pltpu.VMEM),      # dw vals
+        _full(pack.da.shape, pltpu.VMEM),       # diag a
+        _full(pack.db.shape, pltpu.VMEM),       # diag b
     ]
 
 
@@ -228,8 +252,9 @@ class FusedMatvec:
         self._call = pl.pallas_call(
             kern,
             grid=(nbu,),
-            in_specs=_in_specs() + [pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((fop.ddp, BLK), lambda j: (j, 0),
+            in_specs=_in_specs(self.pack)
+            + [_full((nbu * fop.ddp, BLK), pltpu.VMEM)],
+            out_specs=pl.BlockSpec((fop.ddp, BLK), lambda j: (j, j - j),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((nbu * fop.ddp, BLK),
                                            jnp.float32),
@@ -237,7 +262,9 @@ class FusedMatvec:
                 pltpu.VMEM((fop.ddp, self.pack.nmu * BLK), jnp.float32),
                 pltpu.VMEM((self.pack.nmd * BLK, BLK), jnp.float32),
             ],
-            interpret=_INTERPRET,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024),
+            interpret=_interpret(),
         )
 
     def __call__(self, v3):
@@ -264,9 +291,10 @@ class FusedPower:
         self._call = pl.pallas_call(
             kern,
             grid=(niter, nbu),
-            in_specs=_in_specs() + [pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=_in_specs(self.pack)
+            + [pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+                       _full((niter,), pltpu.SMEM)),
             out_shape=(
                 jax.ShapeDtypeStruct((nbu * fop.ddp, BLK), jnp.float32),
                 jax.ShapeDtypeStruct((niter,), jnp.float32),
@@ -280,8 +308,118 @@ class FusedPower:
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
-            interpret=_INTERPRET,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024),
+            interpret=_interpret(),
         )
 
     def __call__(self, v3):
         return self._call(*self.pack.args(), v3)
+
+
+# ---------------------------------------------------------------------------
+# Solver-facing wrappers (flat internal vectors)
+# ---------------------------------------------------------------------------
+
+
+class FusedKron:
+    """Solver-facing f32 matvec on flat internal vectors (n_internal,).
+
+    Drop-in for ops.matvec.KronMatvec in the Lanczos drivers, except the
+    vector space is the padded imp-MSB-blocked internal layout; use
+    to_internal_flat / from_internal_flat at the boundaries (start vectors,
+    returned eigenvectors).  Padding slots are structurally zero — matvec
+    output never populates them; project random start vectors with
+    v0_project."""
+
+    def __init__(self, fop: FusedNormalOp, precision: str = "default"):
+        self.fop = fop
+        self.mv = FusedMatvec(fop, precision=precision)
+        self.dim = fop.n_internal
+        self.dtype = jnp.float32
+        self.nnz = fop.nnz
+        self._idx = jax.device_put(jnp.asarray(fop.internal_index_map()))
+        mask = np.zeros(fop.n_internal, np.float32)
+        mask[fop.internal_index_map()] = 1.0
+        self._mask = jax.device_put(jnp.asarray(mask))
+
+    def __call__(self, v):
+        return self.mv(v.reshape(-1, BLK).astype(jnp.float32)) \
+            .reshape(-1).astype(v.dtype)
+
+    def v0_project(self, v):
+        return v * self._mask.astype(v.dtype)
+
+    def to_internal_flat(self, v_orig):
+        out = jnp.zeros(self.dim, v_orig.dtype)
+        return out.at[self._idx].set(v_orig.reshape(-1))
+
+    def from_internal_flat(self, v_int):
+        return v_int.reshape(-1)[self._idx]
+
+
+class MixedFusedKron:
+    """f64-in/f64-out fused matvec in double-single f32 (3 kernel calls).
+
+    H v = (Hhi vhi)_HIGHEST + Hhi vlo + Hlo vhi  — the same error budget
+    (~3e-7 relative) as ops.matvec.MixedKronMatvec, with the factor
+    products running on the block-compacted fused kernel instead of dense
+    Kronecker matmuls.  Pair with an exact f64 refine (attribute ``exact``)
+    set by the caller for full-precision eigenvalues."""
+
+    def __init__(self, fop: FusedNormalOp):
+        self.fop = fop
+        self.dim = fop.n_internal
+        self.dtype = jnp.float64
+        self.nnz = fop.nnz
+        self._hi = FusedMatvec(fop, precision="highest")
+        self._hi_corr = FusedMatvec(fop, precision="default")
+        # lo-operand call: lo factor blocks, stacked lo diagonal
+        # (a64@b64^T - ahi@bhi^T ~= ahi@blo^T + alo@bhi^T), lo nl values
+        a64, b64 = fop.diag_a64, fop.diag_b64
+        ahi = a64.astype(np.float32)
+        alo = (a64 - ahi.astype(np.float64)).astype(np.float32)
+        bhi = b64.astype(np.float32)
+        blo = (b64 - bhi.astype(np.float64)).astype(np.float32)
+        a_lo = np.concatenate([ahi, alo], axis=1)
+        b_lo = np.concatenate([blo, bhi], axis=1)
+        nl64 = fop.nl_vals64 if fop.nl_vals64 is not None else np.zeros(0)
+        nl_lo = [float(v - np.float32(v)) for v in nl64]
+        self._lo = FusedMatvec(fop, precision="default",
+                               nl_vals=nl_lo,
+                               up_vals=fop.up_vals_lo,
+                               dw_vals=fop.dw_vals_lo,
+                               diag_a=a_lo, diag_b=b_lo)
+        self._idx = jax.device_put(jnp.asarray(fop.internal_index_map()))
+        mask = np.zeros(fop.n_internal, np.float64)
+        mask[fop.internal_index_map()] = 1.0
+        self._mask = jax.device_put(jnp.asarray(mask))
+
+    def __call__(self, v):
+        v3 = v.reshape(-1, BLK)
+        vhi = v3.astype(jnp.float32)
+        vlo = (v3 - vhi.astype(jnp.float64)).astype(jnp.float32)
+        y = (self._hi(vhi).astype(jnp.float64)
+             + self._hi_corr(vlo).astype(jnp.float64)
+             + self._lo(vhi).astype(jnp.float64))
+        return y.reshape(-1)
+
+    def v0_project(self, v):
+        return v * self._mask.astype(v.dtype)
+
+    def to_internal_flat(self, v_orig):
+        out = jnp.zeros(self.dim, v_orig.dtype)
+        return out.at[self._idx].set(v_orig.reshape(-1))
+
+    def from_internal_flat(self, v_int):
+        return v_int.reshape(-1)[self._idx]
+
+
+def wrap_exact_internal(fused, exact_orig):
+    """Adapt an original-layout exact matvec (e.g. f64 KronMatvec) to the
+    fused internal layout for the Rayleigh-Ritz refine pass."""
+    def exact(v_int):
+        vo = fused.from_internal_flat(v_int)
+        w = exact_orig(vo)
+        return fused.to_internal_flat(w)
+    return exact

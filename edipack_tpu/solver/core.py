@@ -215,13 +215,46 @@ def solve_impurity(cfg: EDConfig, hloc: np.ndarray, um: Umatrix,
                  and (cfg.ed_mixed_matvec == "always"
                       or platform in ("tpu", "axon")))
 
+    def _try_fused(sec: Sector, mixed: bool):
+        """Fused Pallas kernel path (single TPU chip, no phonons, sector
+        fits VMEM-resident; ops.pallas_fused). Returns None when out of
+        domain — caller falls back to the XLA Kronecker matvec."""
+        force = cfg.ed_fused_matvec == "always"
+        if cfg.ed_fused_matvec == "never" or (_mesh is not None and not force):
+            return None
+        if not force and (platform not in ("tpu", "axon")
+                          or sec.dim < (1 << 17)):
+            return None
+        if not mixed and dtype != jnp.float32:
+            # the plain fused kernel is f32; a full-f64 XLA matvec was
+            # explicitly requested (ed_mixed_matvec=never at f64)
+            return None
+        from ..ops.fused_normal import build_fused_normal
+        from ..ops.pallas_fused import (FusedKron, MixedFusedKron,
+                                        fused_vmem_ok, wrap_exact_internal)
+        fop = build_fused_normal(get_op(sec), cfg.norb)
+        if fop is None or not fused_vmem_ok(fop):
+            return None
+        if mixed:
+            mv = MixedFusedKron(fop)
+            exact_orig = KronMatvec(get_op(sec), dtype=jnp.float64)
+            mv.exact = wrap_exact_internal(mv, exact_orig)
+            mv.exact_orig = exact_orig
+        else:
+            mv = FusedKron(fop)
+        return mv
+
     def matvec_builder(sec: Sector) -> KronMatvec:
         if sec.index not in mv_cache:
             shard_it = (_mesh is not None
                         and sec.dim > 4 * cfg.lanc_dim_threshold
                         and sec.dim_dw % _ndev == 0)
-            if use_mixed and (cfg.ed_mixed_matvec == "always"
-                              or sec.dim >= (1 << 17)):
+            mixed = use_mixed and (cfg.ed_mixed_matvec == "always"
+                                   or sec.dim >= (1 << 17))
+            mv = _try_fused(sec, mixed)
+            if mv is not None:
+                pass
+            elif mixed:
                 from ..ops.matvec import MixedKronMatvec
                 mv = MixedKronMatvec(get_op(sec))
                 exact = KronMatvec(get_op(sec), dtype=jnp.float64)
@@ -255,8 +288,13 @@ def solve_impurity(cfg: EDConfig, hloc: np.ndarray, um: Umatrix,
     def gf_matvec_builder(sec: Sector):
         """GF moments stay exact f64 unless ed_mixed_gf opts in."""
         mv = matvec_builder(sec)
-        if not cfg.ed_mixed_gf and hasattr(mv, "exact"):
-            return mv.exact
+        if not cfg.ed_mixed_gf:
+            # prefer the original-layout exact operator: the GF start
+            # vectors are built in the original basis
+            if hasattr(mv, "exact_orig"):
+                return mv.exact_orig
+            if hasattr(mv, "exact"):
+                return mv.exact
         return mv
 
     with timer.phase("diagonalization"):

@@ -134,8 +134,10 @@ def diagonalize(cfg: EDConfig, table: SectorTable,
                                   max_restarts=max(4, cfg.lanc_niter // m),
                                   refine_matvec=refine)
         evals_by_sector[i] = vals
+        conv = getattr(mv, "from_internal_flat", None)
         for j in range(len(vals)):
-            sl.add(EigenState(float(vals[j]), i, vecs[j]))
+            vec = conv(vecs[j]) if conv is not None else vecs[j]
+            sl.add(EigenState(float(vals[j]), i, vec))
 
     if len(sl) == 0:
         raise RuntimeError("no eigenstates found (all sectors empty?)")

@@ -99,6 +99,10 @@ def _moments_from_phi(matvec, phi, m: int, dense_eig=None):
         keep = w > 1e-16 * max(w.max(), 1e-300)
         return w[keep], evals[keep]
     m = max(2, m)
+    if hasattr(matvec, "to_internal_flat"):
+        # fused-kernel matvec: Krylov runs in the padded imp-MSB internal
+        # layout; the conversion is a norm-preserving permutation+padding
+        phi = matvec.to_internal_flat(jnp.asarray(phi))
     alphas, betas, norm0 = lanczos_tridiag(matvec, phi, m)
     a = np.asarray(alphas)
     b = np.asarray(betas)

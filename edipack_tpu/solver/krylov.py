@@ -111,6 +111,8 @@ def krylov_state_complexity(result, ops: List[str] = ("cdg", "c", "g1"),
                     from .core import solve_impurity  # noqa: F401 (doc link)
                     mv = result_matvec(result, tsec)
                     m = min(m_max, cfg.lanc_niter, max(2, tsec.dim))
+                    if hasattr(mv, "to_internal_flat"):
+                        phi = mv.to_internal_flat(jnp.asarray(phi))
                     alphas, betas, _ = lanczos_tridiag(mv, phi, m)
                     a = np.asarray(alphas)
                     b = np.asarray(betas)
@@ -143,3 +145,170 @@ def result_matvec(result, sec):
     op = build_normal_sector_op(result.cfg, sec, result.hloc, result.um,
                                 result.bath)
     return KronMatvec(op)
+
+
+# ---------------------------------------------------------------------------
+# Krylov OPERATOR complexity (Liouvillian chain)
+# ---------------------------------------------------------------------------
+
+
+class _OpVector:
+    """Sector-blocked operator |O) = {(lsec, rsec): dense block}, the
+    TPU counterpart of the reference koc_vector_normal
+    (ED_NORMAL/ED_KRYLOV_NORMAL.f90:23-32): blocks are dense device
+    matrices so the Liouvillian is two MXU matmuls per block."""
+
+    def __init__(self, blocks=None):
+        self.blocks = blocks or {}
+
+    def axpy(self, a, other):
+        for k, m in other.blocks.items():
+            self.blocks[k] = self.blocks.get(k, 0.0) + a * m
+
+    def scale(self, a):
+        for k in self.blocks:
+            self.blocks[k] = a * self.blocks[k]
+
+
+def _koc_inner(a: "_OpVector", b: "_OpVector", gs_by_sector) -> float:
+    """T=0 Wightman product (A,B) = sum_gs 0.5 [<A gs|B gs> + <A†gs|B†gs>]
+    (reference koc_inner_product_normal, ED_KRYLOV_NORMAL.f90:484-524)."""
+    dot = 0.0
+    for key, am in a.blocks.items():
+        bm = b.blocks.get(key)
+        if bm is None:
+            continue
+        l, r = key
+        if r in gs_by_sector:
+            for gs in gs_by_sector[r]:
+                av = am @ gs
+                bv = bm @ gs
+                dot += 0.5 * float(np.vdot(av, bv).real)
+        if l in gs_by_sector:
+            for gs in gs_by_sector[l]:
+                av = am.T @ gs
+                bv = bm.T @ gs
+                dot += 0.5 * float(np.vdot(av, bv).real)
+    return dot
+
+
+def krylov_operator_complexity(result, ops: List[str] = ("cdg", "c", "g1"),
+                               m_max: int = 200,
+                               dense_dim_max: int = 4096) -> KrylovResult:
+    """T=0 Krylov-operator (Liouvillian) complexity of d†/d/γ1 =
+    d† + d (reference krylov_operator_complexity, ED_KRYLOV.f90:54-137).
+
+    The operator Krylov chain is built with L = [H, ·] acting on
+    sector-blocked dense matrices; sectors larger than ``dense_dim_max``
+    raise (the diagnostic targets small systems, as in the reference where
+    blocks are sparse CSR with OpTol truncation)."""
+    cfg = result.cfg
+    if cfg.ed_mode != "normal":
+        raise NotImplementedError("operator complexity: normal mode only")
+    table = result.table
+    sl = result.diag.state_list
+    times = np.linspace(0.0, cfg.tmax, cfg.ltimes)
+    out = KrylovResult(times, {}, {}, {})
+
+    # ground-state multiplet, grouped by sector
+    e0 = min(s.energy for s in sl)
+    gs_by_sector: Dict[int, list] = {}
+    for s in sl:
+        if s.energy - e0 <= cfg.gs_threshold:
+            gs_by_sector.setdefault(s.sector, []).append(
+                np.asarray(s.vector))
+
+    hcache: Dict[int, np.ndarray] = {}
+
+    def hblock(isec: int) -> np.ndarray:
+        if isec not in hcache:
+            sec = table.sector(isec)
+            if sec.dim > dense_dim_max:
+                raise NotImplementedError(
+                    f"operator complexity: sector dim {sec.dim} exceeds the "
+                    f"dense-block limit {dense_dim_max}")
+            from ..models.normal import build_normal_sector_op
+            op = build_normal_sector_op(result.cfg, sec, result.hloc,
+                                        result.um, result.bath)
+            hcache[isec] = op.to_dense()
+        return hcache[isec]
+
+    def op_block(kind, iorb, ispin, lsec, rsec) -> np.ndarray:
+        """Dense matrix of c/cdg_{iorb,ispin}: rsec -> lsec."""
+        sec_r = table.sector(rsec)
+        sec_l = table.sector(lsec)
+        axis = 2 if ispin == 0 else 1
+        mp = spin_axis_op(sec_r.ups if ispin == 0 else sec_r.dws,
+                          sec_l.ups if ispin == 0 else sec_l.dws,
+                          sec_r.ns, kind, iorb, axis)
+        m = np.zeros((sec_l.dim, sec_r.dim))
+        eye = np.eye(sec_r.dim)
+        v3 = eye.reshape(sec_r.dim, sec_r.dim_ph, sec_r.dim_dw, sec_r.dim_up)
+        for i in range(sec_r.dim):
+            m[:, i] = np.asarray(mp.apply(jnp.asarray(v3[i]))).reshape(-1)
+        return m
+
+    def seed(kind_pairs, iorb, ispin) -> "_OpVector":
+        o = _OpVector()
+        for isec in gs_by_sector:
+            iud = iorb if not cfg.ed_total_ud else 0
+            for kind in kind_pairs:
+                up = table.cdg_sector(isec, ispin, iud) if kind == "cdg" \
+                    else table.c_sector(isec, ispin, iud)
+                dn = table.c_sector(isec, ispin, iud) if kind == "cdg" \
+                    else table.cdg_sector(isec, ispin, iud)
+                if up is not None:
+                    key = (up, isec)
+                    if key not in o.blocks:
+                        o.blocks[key] = op_block(kind, iorb, ispin, *key)
+                if dn is not None:
+                    key = (isec, dn)
+                    if key not in o.blocks:
+                        o.blocks[key] = op_block(kind, iorb, ispin, *key)
+        return o
+
+    def liouville(a: "_OpVector") -> "_OpVector":
+        w = _OpVector()
+        for (l, r), m in a.blocks.items():
+            w.blocks[(l, r)] = hblock(l) @ m - m @ hblock(r)
+        return w
+
+    for ispin in range(cfg.nspin):
+        for iorb in range(cfg.norb):
+            for op in ops:
+                kinds = {"cdg": ("cdg",), "c": ("c",),
+                         "g1": ("cdg", "c")}[op]
+                q = seed(kinds, iorb, ispin)
+                norm2 = _koc_inner(q, q, gs_by_sector)
+                if norm2 <= 0:
+                    continue
+                q.scale(1.0 / np.sqrt(norm2))
+                alphas, betas = [], []
+                qprev, beta_prev = None, 0.0
+                nmax = min(m_max, cfg.lanc_ngfiter)
+                for n in range(nmax):
+                    w = liouville(q)
+                    a_n = _koc_inner(q, w, gs_by_sector)
+                    alphas.append(a_n)
+                    w.axpy(-a_n, q)
+                    if qprev is not None:
+                        w.axpy(-beta_prev, qprev)
+                    wn = _koc_inner(w, w, gs_by_sector)
+                    if wn <= 1e-24:
+                        break
+                    beta = np.sqrt(wn)
+                    betas.append(beta)
+                    qprev, q = q, w
+                    q.scale(1.0 / beta)
+                    beta_prev = beta
+                a = np.asarray(alphas)
+                b = np.asarray(betas)
+                p = _chain_evolution(a, b[: len(a) - 1], times)
+                nvec = np.arange(p.shape[0])
+                key = (op, ispin, iorb)
+                out.complexity[key] = (nvec[:, None] * p).sum(0)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out.entropy[key] = -(p * np.where(p > 1e-300,
+                                                      np.log(p), 0.0)).sum(0)
+                out.distribution[key] = p
+    return out

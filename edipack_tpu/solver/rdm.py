@@ -94,3 +94,53 @@ def impurity_rdm_joint(cfg: EDConfig, table: SectorTable,
             wmat[impi, brank] = sign * v2[p]
             rho += w[ist] * (wmat @ wmat.conj().T)
     return rho
+
+
+def get_reduced_rdm(rdm: np.ndarray, orbital_mask, norb: int,
+                    ) -> np.ndarray:
+    """Trace the impurity RDM down to an orbital subset with fermionic
+    sign bookkeeping (reference get_reduced_rdm_normal, ED_RDM.f90:71-230).
+
+    ``rdm``: (4^norb, 4^norb) impurity RDM with index I = iu + 2^norb*id.
+    ``orbital_mask``: length-norb booleans, True = keep."""
+    mask = np.asarray(orbital_mask, bool)
+    if mask.shape != (norb,):
+        raise ValueError("orbital_mask must have one entry per orbital")
+    nred = int(mask.sum())
+    if nred < 1:
+        raise ValueError("reduced system needs at least one orbital")
+    if nred == norb:
+        return rdm.copy()
+    red = np.nonzero(mask)[0]
+    tra = np.nonzero(~mask)[0]
+    nimp = 1 << norb
+
+    bits = ((np.arange(nimp)[:, None] >> np.arange(norb)[None, :]) & 1)
+    # sign: for each kept orbital r, count occupied TRACED bits below r
+    filt = bits.copy()
+    filt[:, red] = 0
+    csum = np.cumsum(filt, axis=1)      # inclusive prefix sums
+    n = np.zeros(nimp, dtype=np.int64)
+    for r in red:
+        n += csum[:, r] - filt[:, r]    # traced bits strictly below r
+    sgn = 1.0 - 2.0 * (n % 2)
+    red_idx = (bits[:, red] << np.arange(nred)[None, :]).sum(1)
+    tra_idx = (bits[:, tra] << np.arange(norb - nred)[None, :]).sum(1)
+
+    nred_imp = 1 << nred
+    out = np.zeros((nred_imp * nred_imp, nred_imp * nred_imp), rdm.dtype)
+    for iu in range(nimp):
+        for idw in range(nimp):
+            i = iu + nimp * idw
+            for ju in range(nimp):
+                if tra_idx[ju] != tra_idx[iu]:
+                    continue
+                for jd in range(nimp):
+                    if tra_idx[jd] != tra_idx[idw]:
+                        continue
+                    j = ju + nimp * jd
+                    io = red_idx[iu] + nred_imp * red_idx[idw]
+                    jo = red_idx[ju] + nred_imp * red_idx[jd]
+                    s = sgn[iu] * sgn[idw] * sgn[ju] * sgn[jd]
+                    out[io, jo] += rdm[i, j] * s
+    return out
