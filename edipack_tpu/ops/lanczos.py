@@ -224,27 +224,40 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
         m_ref = min(16, dim - 1) or 1
         pol_vals, pol_vecs = [], []
         for i in range(vecs.shape[0]):
-            lk = (jnp.stack(pol_vecs) if pol_vecs
-                  else jnp.zeros((0, dim), vecs.dtype))
-            a2, b2, V2 = lanczos_sweep(refine_matvec, vecs[i], m_ref, lk)
-            a2 = np.asarray(a2)
-            b2 = np.asarray(b2)
-            k_eff = m_ref
-            tiny = 1e-13 * max(1.0, np.abs(a2).max())
-            for j in range(m_ref - 1):
-                if b2[j] < tiny:
-                    k_eff = j + 1
+            vec = vecs[i]
+            val = None
+            # repeat the exact sweep until the Ritz residual converges:
+            # one sweep from a ~1e-4-error start (mixed-matvec noise over a
+            # near-degenerate gap) leaves ~1e-8; GF weights near degenerate
+            # multiplets need ~1e-11 (see test_fused: triplet ground state)
+            for _round in range(3):
+                lk = (jnp.stack(pol_vecs) if pol_vecs
+                      else jnp.zeros((0, dim), vecs.dtype))
+                a2, b2, V2 = lanczos_sweep(refine_matvec, vec, m_ref, lk)
+                a2 = np.asarray(a2)
+                b2 = np.asarray(b2)
+                k_eff = m_ref
+                tiny = 1e-13 * max(1.0, np.abs(a2).max())
+                for j in range(m_ref - 1):
+                    if b2[j] < tiny:
+                        k_eff = j + 1
+                        break
+                t = np.diag(a2[:k_eff])
+                if k_eff > 1:
+                    t += np.diag(b2[:k_eff - 1], 1) \
+                        + np.diag(b2[:k_eff - 1], -1)
+                tv, tu = np.linalg.eigh(t)
+                vec = jnp.asarray(tu[:, 0], vecs.dtype) @ V2[:k_eff]
+                if pol_vecs:
+                    lk = jnp.stack(pol_vecs)
+                    vec = vec - (jnp.conj(lk) @ vec) @ lk
+                vec = vec / jnp.linalg.norm(vec)
+                val = float(tv[0])
+                beta_last = b2[k_eff - 1] if k_eff <= m_ref - 1 else b2[-1]
+                resid = abs(beta_last * tu[-1, 0])
+                if resid < 1e-11 * max(1.0, abs(val)) or k_eff < m_ref:
                     break
-            t = np.diag(a2[:k_eff])
-            if k_eff > 1:
-                t += np.diag(b2[:k_eff - 1], 1) + np.diag(b2[:k_eff - 1], -1)
-            tv, tu = np.linalg.eigh(t)
-            vec = jnp.asarray(tu[:, 0], vecs.dtype) @ V2[:k_eff]
-            if pol_vecs:
-                lk = jnp.stack(pol_vecs)
-                vec = vec - (jnp.conj(lk) @ vec) @ lk
-            vec = vec / jnp.linalg.norm(vec)
-            pol_vals.append(float(tv[0]))
+            pol_vals.append(val)
             pol_vecs.append(vec)
         order = np.argsort(pol_vals)
         vals = np.asarray(pol_vals)[order]
