@@ -62,6 +62,49 @@ from .main import (
     ed_add_twobody_operator,
     ed_reset_umatrix,
     ed_search_variable,
+    ed_update_input,
+    ed_get_reduced_rdm,
+    ed_get_spinchi,
+    ed_get_denschi,
+    ed_get_pairchi,
+    ed_get_exctchi,
+    ed_get_epot,
+    ed_get_eint,
+    ed_get_ehartree,
+    ed_get_eknot,
+    ed_get_ephon,
+    ed_get_phon,
+    ed_get_nsectors,
+    ed_get_impurity_rdm,
+    ed_get_denmat,
+    ed_set_suffix,
+    ed_reset_suffix,
+    ed_set_g_ph,
+    ed_set_a_ph,
+    ed_read_impgmatrix,
+    ed_read_impdmatrix,
+    ed_read_spinchimatrix,
+    ed_read_denschimatrix,
+    ed_read_pairchimatrix,
+    ed_read_exctchimatrix,
+    ed_build_impg,
+    ed_build_impf,
+    ed_build_impd,
+    ed_build_sigma,
+    ed_build_self,
+    ed_build_spinchi,
+    ed_build_denschi,
+    ed_build_pairchi,
+    ed_build_exctchi,
+    ed_build_krylov_state_complexity,
+    ed_build_krylov_operator_complexity,
+    ed_get_ksc,
+    ed_get_ssc,
+    ed_get_psc,
+    ed_get_koc,
+    ed_get_soc,
+    ed_get_poc,
+    ed_search_chemical_potential,
 )
 from .bath import (
     ed_set_hreplica,
@@ -72,6 +115,8 @@ from .bath import (
     ed_orb_equality_bath,
     ed_ph_symmetrize_bath,
     ed_enforce_normal_bath,
+    ed_ph_trans_bath,
+    ed_save_array_as_bath,
 )
 from .ineq import EDIneqSolver
 

@@ -5,4 +5,5 @@ from .replica import ReplicaBasis, make_basis
 from .user import (ed_set_hreplica, ed_set_hgeneral, ed_spin_symmetrize_bath,
                    ed_orb_symmetrize_bath, ed_break_symmetry_bath,
                    ed_orb_equality_bath, ed_ph_symmetrize_bath,
-                   ed_enforce_normal_bath, get_global_basis)
+                   ed_enforce_normal_bath, ed_ph_trans_bath,
+                   ed_save_array_as_bath, get_global_basis)

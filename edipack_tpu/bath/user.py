@@ -134,3 +134,33 @@ def ed_enforce_normal_bath(bath_array, save: bool = False, cfg=None):
         if b.d is not None:
             b.d[:] = 0.0
     return _with_bath(bath_array, fn, cfg)
+
+
+def ed_ph_trans_bath(bath_array, save: bool = False, cfg=None):
+    """Particle-hole transform of the bath (reference ph_trans_bath,
+    ED_BATH_USER.f90:344-381): Norb=1 negates the levels; Norb=2 swaps the
+    orbital pair with a sign flip (e1 <- -e2, e2 <- -e1, V columns swapped);
+    other Norb are left unchanged, matching the reference."""
+    def fn(b):
+        if b.is_replica:
+            raise ValueError("ph_trans undefined for replica/general bath")
+        no = b.e.shape[1]
+        if no == 1:
+            b.e[:] = -b.e
+        elif no == 2:
+            e = b.e.copy()
+            v = b.v.copy()
+            b.e[:, 0] = -e[:, 1]
+            b.e[:, 1] = -e[:, 0]
+            b.v[:, 0] = v[:, 1]
+            b.v[:, 1] = v[:, 0]
+    return _with_bath(bath_array, fn, cfg)
+
+
+def ed_save_array_as_bath(bath_array, cfg=None) -> None:
+    """Write the packed user bath array to the ``hamiltonian.restart`` file
+    (reference save_array_as_bath, ED_BATH_USER.f90:495-501)."""
+    from .dmft_bath import save_bath_file
+    cfg = cfg or get_config()
+    b = array_to_bath(np.asarray(bath_array, float), cfg, _global_basis)
+    save_bath_file(b, cfg.hfile + cfg.ed_file_suffix + ".restart")

@@ -182,3 +182,11 @@ def write_all_outputs(cfg: EDConfig, result) -> None:
     from .bath.dmft_bath import save_bath_file
     save_bath_file(result.bath, os.path.join(
         cfg.ed_output_dir, cfg.hfile + cfg.ed_file_suffix + ".used"))
+    # Källén-Lehmann weight/pole stores, re-loadable without re-solving
+    # (reference write_GFmatrix / ed_read_ImpGMatrix, ED_GFMATRIX.f90:78-107)
+    if result.gf is not None and getattr(result.gf, "channels", None):
+        result.gf.save(os.path.join(
+            cfg.ed_output_dir, f"gfmatrix{cfg.ed_file_suffix}.npz"))
+    if result.chi is not None and getattr(result.chi, "channels", None):
+        result.chi.save(os.path.join(
+            cfg.ed_output_dir, f"chimatrix{cfg.ed_file_suffix}.npz"))

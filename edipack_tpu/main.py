@@ -314,3 +314,272 @@ def ed_chi2_fitgf(func, bath, ispin=1, iorb=None, fmpi=True):
     cfg = get_config()
     return chi2_fitgf(cfg, np.asarray(func), np.asarray(bath, float),
                       ispin=ispin, iorb=iorb, basis=get_global_basis())
+
+
+# ---------------------------------------------------------------------------
+# reference EDIPACK.f90 re-export parity: named χ getters, energy components,
+# phonon observables, suffix management, GFmatrix persistence, Krylov getters
+# ---------------------------------------------------------------------------
+
+
+def ed_get_spinchi(zeta=None, axis="m"):
+    return ed_get_chi("spin", zeta, axis)
+
+
+def ed_get_denschi(zeta=None, axis="m"):
+    return ed_get_chi("dens", zeta, axis)
+
+
+def ed_get_pairchi(zeta=None, axis="m"):
+    return ed_get_chi("pair", zeta, axis)
+
+
+def ed_get_exctchi(zeta=None, axis="m"):
+    return ed_get_chi("exct", zeta, axis)
+
+
+def ed_get_epot():
+    """⟨Hint⟩ + Hartree terms (reference ed_get_epot, get_energy.f90:18)."""
+    return float(_R().energies[0])
+
+
+def ed_get_eint():
+    return float(_R().energies[1])
+
+
+def ed_get_ehartree():
+    return float(_R().energies[2])
+
+
+def ed_get_eknot():
+    return float(_R().energies[3])
+
+
+def ed_get_ephon():
+    """(Eph, Eeph) phonon energy contributions (reference ed_get_ephon,
+    ED_IO.f90: get_phon.f90)."""
+    obs = _R().obs
+    return np.array([obs.eph, obs.eeph])
+
+
+def ed_get_phon():
+    """(⟨b†b⟩, ⟨X⟩, ⟨X²⟩) (reference ed_get_phon_site)."""
+    obs = _R().obs
+    nvec = np.arange(len(obs.ph_n))
+    return np.array([float(nvec @ obs.ph_n), obs.ph_x, obs.ph_x2])
+
+
+def ed_get_nsectors() -> int:
+    from .sectors import SectorTable
+    return len(SectorTable(get_config()))
+
+
+def ed_get_impurity_rdm(norbs=None):
+    return ed_get_rdm(norbs)
+
+
+def ed_get_denmat():
+    """Full one-body density matrix over imp+bath levels as
+    (Nspin,Nspin,Ns,Ns), spin-diagonal outside nonsu2 mode (reference
+    ed_get_denmat / full_1body_density_matrix, get_denmat.f90)."""
+    sp = np.asarray(_R().single_particle_dm)
+    nspin, ns = sp.shape[0], sp.shape[-1]
+    out = np.zeros((nspin, nspin, ns, ns), complex)
+    for s in range(nspin):
+        out[s, s] = sp[s]
+    return out
+
+
+def ed_set_suffix(suffix) -> None:
+    """Per-site file suffix (reference ed_set_suffix, ED_AUX_FUNX): integer
+    arguments are formatted like the reference's ineq-site suffix."""
+    from .config import set_config
+    s = f"_ineq{int(suffix):04d}" if isinstance(suffix, (int, np.integer)) \
+        else str(suffix)
+    set_config(get_config().replace(ed_file_suffix=s))
+    if _solver is not None:
+        _solver.cfg = _solver.cfg.replace(ed_file_suffix=s)
+
+
+def ed_reset_suffix() -> None:
+    from .config import set_config
+    set_config(get_config().replace(ed_file_suffix=""))
+    if _solver is not None:
+        _solver.cfg = _solver.cfg.replace(ed_file_suffix="")
+
+
+def ed_set_g_ph(g) -> None:
+    """Orbital-diagonal e-ph couplings (reference ed_set_G_ph)."""
+    from .config import set_config
+    g = np.asarray(g, float)
+    vals = list(np.diag(g)) if g.ndim == 2 else list(g)
+    set_config(get_config().replace(g_ph=vals))
+    if _solver is not None:
+        _solver.cfg = _solver.cfg.replace(g_ph=vals)
+
+
+def ed_set_a_ph(a: float) -> None:
+    """Linear phonon displacement term (reference ed_set_A_ph)."""
+    from .config import set_config
+    set_config(get_config().replace(a_ph=float(a)))
+    if _solver is not None:
+        _solver.cfg = _solver.cfg.replace(a_ph=float(a))
+
+
+# -- GFmatrix / χ-matrix persistence (reference ed_read_ImpGMatrix etc.) ----
+
+
+def _store_path(name: str) -> str:
+    import os
+    cfg = get_config()
+    return os.path.join(cfg.ed_output_dir,
+                        f"{name}{cfg.ed_file_suffix}.npz")
+
+
+def ed_read_impgmatrix(path: Optional[str] = None):
+    """Reload the Källén-Lehmann GF store written by a previous solve so
+    G/Σ/D can be re-evaluated on any grid without re-solving (reference
+    ed_read_ImpGMatrix -> read_GFmatrix, ED_GFMATRIX.f90:78-107)."""
+    from .solver.greens import GFMatrix
+    gf = GFMatrix.load(path or _store_path("gfmatrix"))
+    s = _S()
+    if s.result is not None:
+        s.result.gf = gf
+    s.loaded_gf = gf
+    return gf
+
+
+ed_read_impdmatrix = ed_read_impgmatrix   # D(z) lives in the same store
+
+
+def _read_chimatrix(path: Optional[str] = None):
+    from .solver.greens import GFMatrix
+    chi = GFMatrix.load(path or _store_path("chimatrix"))
+    s = _S()
+    if s.result is not None:
+        s.result.chi = chi
+    s.loaded_chi = chi
+    return chi
+
+
+ed_read_spinchimatrix = _read_chimatrix
+ed_read_denschimatrix = _read_chimatrix
+ed_read_pairchimatrix = _read_chimatrix
+ed_read_exctchimatrix = _read_chimatrix
+
+
+# -- build-on-grid aliases (reference ed_build_impG/F/D/Sigma/Self) ---------
+
+
+def ed_build_impg(zeta, axis="m"):
+    return ed_get_gimp(zeta, axis, typ="n")
+
+
+def ed_build_impf(zeta, axis="m"):
+    return ed_get_gimp(zeta, axis, typ="a")
+
+
+def ed_build_impd(zeta, axis="m"):
+    return ed_get_dimp(zeta, axis)
+
+
+def ed_build_sigma(zeta, axis="m"):
+    return ed_get_sigma(zeta, axis, typ="n")
+
+
+def ed_build_self(zeta, axis="m"):
+    return ed_get_sigma(zeta, axis, typ="a")
+
+
+def ed_build_spinchi(zeta, axis="m"):
+    return ed_get_chi("spin", zeta, axis)
+
+
+def ed_build_denschi(zeta, axis="m"):
+    return ed_get_chi("dens", zeta, axis)
+
+
+def ed_build_pairchi(zeta, axis="m"):
+    return ed_get_chi("pair", zeta, axis)
+
+
+def ed_build_exctchi(zeta, axis="m"):
+    return ed_get_chi("exct", zeta, axis)
+
+
+# -- Krylov complexity builders + getters (reference ED_KRYLOV +
+#    ed_get_KSC/SSC/KOC/SOC/PSC/POC, ED_IO/get_krylov.f90) ------------------
+
+
+def ed_build_krylov_state_complexity(ops=("cdg", "c", "g1")):
+    from .solver.krylov import krylov_state_complexity
+    s = _S()
+    s.krylov_state = krylov_state_complexity(_R(), ops=ops)
+    return s.krylov_state
+
+
+def ed_build_krylov_operator_complexity(ops=("n",)):
+    from .solver.krylov import krylov_operator_complexity
+    s = _S()
+    s.krylov_op = krylov_operator_complexity(_R(), ops=ops)
+    return s.krylov_op
+
+
+def _krylov_field(attr: str, field: str):
+    """Pack a KrylovResult dict field into the reference array layout
+    (iop, ispin, iorb, [m,] Ltimes) (reference ed_KSC/ed_PSC shapes,
+    ED_IO/get_krylov.f90)."""
+    res = getattr(_S(), attr, None)
+    if res is None:
+        raise RuntimeError("build the Krylov complexity first "
+                           "(ed_build_krylov_*_complexity)")
+    d = getattr(res, field)
+    cfg = _S().cfg
+    ops = []
+    for (op, _s, _o) in d:
+        if op not in ops:
+            ops.append(op)
+    lt = len(res.times)
+    if field == "distribution":
+        mmax = max(v.shape[0] for v in d.values())
+        out = np.zeros((len(ops), cfg.nspin, cfg.norb, mmax, lt))
+        for (op, s, o), v in d.items():
+            out[ops.index(op), s, o, :v.shape[0], :] = v
+    else:
+        out = np.zeros((len(ops), cfg.nspin, cfg.norb, lt))
+        for (op, s, o), v in d.items():
+            out[ops.index(op), s, o, :] = v
+    return out
+
+
+def ed_get_ksc():
+    """Krylov state complexity K(t) (reference ed_get_KSC)."""
+    return _krylov_field("krylov_state", "complexity")
+
+
+def ed_get_ssc():
+    """Spread state entropy S(t) (reference ed_get_SSC)."""
+    return _krylov_field("krylov_state", "entropy")
+
+
+def ed_get_psc():
+    """Krylov-basis probability amplitudes |φ_n(t)|² (reference ed_get_PSC)."""
+    return _krylov_field("krylov_state", "distribution")
+
+
+def ed_get_koc():
+    return _krylov_field("krylov_op", "complexity")
+
+
+def ed_get_soc():
+    return _krylov_field("krylov_op", "entropy")
+
+
+def ed_get_poc():
+    return _krylov_field("krylov_op", "distribution")
+
+
+def ed_search_chemical_potential(xmu: float, ntmp: float, converged: bool):
+    """Adjust the chemical potential toward cfg.nread (reference
+    search_chemical_potential, ED_AUX_FUNX.f90:1360-1516)."""
+    return ed_search_variable(xmu, ntmp, converged)

@@ -217,52 +217,95 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
     if refine_matvec is not None and vecs.shape[0] > 0:
         # The reduced-precision Lanczos delivers vectors with error
         # ~ matvec_noise/gap; a bare Rayleigh quotient would leave an
-        # eigenvalue error quadratic in that. Polish each vector with a
-        # short *exact* Lanczos sweep seeded from it (deflating the already
-        # polished ones) — a near-converged start needs only a few exact
-        # matvecs to reach f64 accuracy.
-        m_ref = min(16, dim - 1) or 1
+        # eigenvalue error quadratic in that. Polish each vector with
+        # *exact* matvecs, cluster-aware: near-degenerate partners inside
+        # the same sector (gaps ~1e-4) make single-vector Ritz extraction
+        # converge at the tiny inner gap — hopeless — while the cluster
+        # *subspace* converges at the large outer gap. So each round runs
+        # a short exact Lanczos sweep, merges the lowest Ritz cluster with
+        # the previous round's cluster block, and resolves individual
+        # members by exact Rayleigh-Ritz in that block (Davis-Kahan: the
+        # rotation error is then ~ δ²·W/gap_inner, with δ the subspace
+        # error, instead of ~ δ).
         pol_vals, pol_vecs = [], []
         for i in range(vecs.shape[0]):
-            vec = vecs[i]
-            val = None
-            # repeat the exact sweep until the Ritz residual converges:
-            # one sweep from a ~1e-4-error start (mixed-matvec noise over a
-            # near-degenerate gap) leaves ~1e-8; GF weights near degenerate
-            # multiplets need ~1e-11 (see test_fused: triplet ground state)
-            for _round in range(3):
-                lk = (jnp.stack(pol_vecs) if pol_vecs
-                      else jnp.zeros((0, dim), vecs.dtype))
-                a2, b2, V2 = lanczos_sweep(refine_matvec, vec, m_ref, lk)
-                a2 = np.asarray(a2)
-                b2 = np.asarray(b2)
-                k_eff = m_ref
-                tiny = 1e-13 * max(1.0, np.abs(a2).max())
-                for j in range(m_ref - 1):
-                    if b2[j] < tiny:
-                        k_eff = j + 1
-                        break
-                t = np.diag(a2[:k_eff])
-                if k_eff > 1:
-                    t += np.diag(b2[:k_eff - 1], 1) \
-                        + np.diag(b2[:k_eff - 1], -1)
-                tv, tu = np.linalg.eigh(t)
-                vec = jnp.asarray(tu[:, 0], vecs.dtype) @ V2[:k_eff]
-                if pol_vecs:
-                    lk = jnp.stack(pol_vecs)
-                    vec = vec - (jnp.conj(lk) @ vec) @ lk
-                vec = vec / jnp.linalg.norm(vec)
-                val = float(tv[0])
-                beta_last = b2[k_eff - 1] if k_eff <= m_ref - 1 else b2[-1]
-                resid = abs(beta_last * tu[-1, 0])
-                if resid < 1e-11 * max(1.0, abs(val)) or k_eff < m_ref:
-                    break
+            val, vec = _cluster_polish(refine_matvec, vecs[i], pol_vecs, dim)
             pol_vals.append(val)
             pol_vecs.append(vec)
         order = np.argsort(pol_vals)
         vals = np.asarray(pol_vals)[order]
         vecs = jnp.stack([pol_vecs[i] for i in order])
     return vals, vecs
+
+
+def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 24,
+                    max_rounds: int = 8, rtol: float = 1e-11,
+                    max_cluster: int = 3):
+    """Polish one approximate eigenvector to f64 accuracy with exact
+    matvecs, robust to near-degenerate clusters (see caller comment).
+
+    ``deflate``: already-polished lower eigenvectors to project out.
+    Returns (value, vector)."""
+    dtype = vec.dtype
+    m_ref = min(m_ref, dim - 1) or 1
+    block = []               # cluster partners carried across rounds
+    val = float(np.real(np.vdot(np.asarray(vec),
+                                np.asarray(matvec(vec)))))
+    for _round in range(max_rounds):
+        lk = (jnp.stack(deflate) if deflate
+              else jnp.zeros((0, dim), dtype))
+        a2, b2, V2 = lanczos_sweep(matvec, vec, m_ref, lk)
+        a2 = np.asarray(a2)
+        b2 = np.asarray(b2)
+        k_eff = m_ref
+        tiny = 1e-13 * max(1.0, np.abs(a2).max())
+        for j in range(m_ref - 1):
+            if b2[j] < tiny:
+                k_eff = j + 1
+                break
+        t = np.diag(a2[:k_eff])
+        if k_eff > 1:
+            t += np.diag(b2[:k_eff - 1], 1) + np.diag(b2[:k_eff - 1], -1)
+        tv, tu = np.linalg.eigh(t)
+        spread = max(tv[-1] - tv[0], 1e-12)
+        # lowest Ritz cluster of this sweep
+        nc = 1
+        while nc < min(max_cluster, k_eff) \
+                and tv[nc] - tv[0] < 1e-2 * spread:
+            nc += 1
+        R = jnp.asarray(tu[:, :nc].T, dtype) @ V2[:k_eff]     # (nc, dim)
+        # merge with the carried cluster block and orthonormalize
+        cand = [R[j] for j in range(nc)] + block
+        basis = []
+        for u in cand:
+            if deflate:
+                lk = jnp.stack(deflate)
+                u = u - (jnp.conj(lk) @ u) @ lk
+            for b in basis:
+                u = u - jnp.vdot(b, u) * b
+            nrm = float(jnp.linalg.norm(u))
+            if nrm > 1e-8:
+                basis.append(u / nrm)
+            if len(basis) >= max_cluster + 1:
+                break
+        S = jnp.stack(basis)                                   # (k, dim)
+        HS = jnp.stack([matvec(S[j]) for j in range(S.shape[0])])
+        hs = np.asarray(jnp.conj(S) @ HS.T)
+        hs = 0.5 * (hs + hs.conj().T)
+        sv, su = np.linalg.eigh(hs)
+        W = jnp.asarray(su.T, dtype) @ S                        # RR vectors
+        HW = jnp.asarray(su.T, dtype) @ HS
+        val = float(sv[0])
+        vec = W[0] / jnp.linalg.norm(W[0])
+        resid = float(jnp.linalg.norm(HW[0] - sv[0] * W[0]))
+        scale = max(1.0, abs(val))
+        # carry the near-degenerate partners into the next round
+        cw = max(100.0 * resid, 1e-8 * scale)
+        block = [W[j] for j in range(1, W.shape[0])
+                 if sv[j] - sv[0] < cw][: max_cluster - 1]
+        if resid < rtol * scale:
+            break
+    return val, vec
 
 
 @jax.jit

@@ -59,6 +59,11 @@ class Observables:
     ph_x2: float = 0.0
     ph_n: np.ndarray = None       # occupation distribution (Nph+1,)
     ph_dm: np.ndarray = None      # phonon density matrix (Nph+1, Nph+1)
+    # phonon energies (reference ed_Eph / ed_Eeph,
+    # ED_OBSERVABLES_NORMAL.f90:842-900): Eph = w0 <b†b>,
+    # Eeph = < Σ_ij g_ij c†_iσ c_jσ (b† + b) >
+    eph: float = 0.0
+    eeph: float = 0.0
 
     @property
     def energies(self) -> np.ndarray:
@@ -183,6 +188,28 @@ def compute_observables_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
             # phonon density matrix (electrons traced out) for the PDF
             obs.ph_dm += w[ist] * np.einsum("pdu,qdu->pq",
                                             np.conj(v3), v3).real
+            # phonon energies (reference ED_OBSERVABLES_NORMAL.f90:842-900)
+            obs.eph += w[ist] * cfg.w0_ph * float(nvec @ pph)
+            op = op_cache.get(st.sector)
+            if op is not None and op.eph_d is not None:
+                t = np.einsum("pdu,pq,du,qdu->", np.conj(v3), x,
+                              op.eph_d, v3).real
+                if op.eph_up is not None:
+                    t += np.einsum("pdu,pq,uv,qdv->", np.conj(v3), x,
+                                   op.eph_up, v3).real
+                if op.eph_dw is not None:
+                    t += np.einsum("pdu,pq,de,qeu->", np.conj(v3), x,
+                                   op.eph_dw, v3).real
+                obs.eeph += w[ist] * t
+            else:
+                # twin-reconstructed sector (no cached op): the default
+                # coupling is orbital-diagonal, Σ_a g_aa (n_a↑+n_a↓) ⊗ X
+                from ..models.normal import g_ph_matrix
+                gd = np.diag(g_ph_matrix(cfg))
+                eel = (occ_d[:, :norb] @ gd)[:, None] \
+                    + (occ_u[:, :norb] @ gd)[None, :]
+                obs.eeph += w[ist] * np.einsum(
+                    "pdu,pq,du,qdu->", np.conj(v3), x, eel, v3).real
         # single-particle density matrix (imp+bath levels)
         if with_sp_dm:
             for i in range(ns):
