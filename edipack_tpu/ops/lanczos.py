@@ -238,23 +238,40 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
     return vals, vecs
 
 
-def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 24,
-                    max_rounds: int = 8, rtol: float = 1e-11,
-                    max_cluster: int = 3):
+def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
+                    max_rounds: int = 12, rtol: float = 1e-11,
+                    max_cluster: int = 8):
     """Polish one approximate eigenvector to f64 accuracy with exact
     matvecs, robust to near-degenerate clusters (see caller comment).
+
+    Jacobi-Davidson-flavoured scheme: each round runs an m_ref-step Lanczos
+    sweep from the current RESIDUAL and Rayleigh-Ritzes H over the FULL
+    Krylov basis plus a carried block (current Ritz vector + cluster
+    partners).  Two design points matter:
+
+    * the whole Krylov basis enters the RR space — keeping only the sweep's
+      lowest Ritz vectors would discard exactly the high-energy combination
+      that forms the correction (H-theta)^-1 r, freezing the residual;
+    * the carried block keeps the near-degenerate multiplet (e.g. 4 Hund
+      states at gaps ~1e-4) in the basis, so the ground vector converges at
+      the OUTER spectral gap (Davis-Kahan) instead of the inner one.
+
+    The projection of H on the sweep basis is the Lanczos tridiagonal, so
+    only the (<= max_cluster) block vectors cost extra matvecs per round.
 
     ``deflate``: already-polished lower eigenvectors to project out.
     Returns (value, vector)."""
     dtype = vec.dtype
     m_ref = min(m_ref, dim - 1) or 1
-    block = []               # cluster partners carried across rounds
+    block = [vec]
     val = float(np.real(np.vdot(np.asarray(vec),
                                 np.asarray(matvec(vec)))))
+    best = (np.inf, val, vec)
+    start = vec
     for _round in range(max_rounds):
         lk = (jnp.stack(deflate) if deflate
               else jnp.zeros((0, dim), dtype))
-        a2, b2, V2 = lanczos_sweep(matvec, vec, m_ref, lk)
+        a2, b2, V2 = lanczos_sweep(matvec, start, m_ref, lk)
         a2 = np.asarray(a2)
         b2 = np.asarray(b2)
         k_eff = m_ref
@@ -266,46 +283,51 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 24,
         t = np.diag(a2[:k_eff])
         if k_eff > 1:
             t += np.diag(b2[:k_eff - 1], 1) + np.diag(b2[:k_eff - 1], -1)
-        tv, tu = np.linalg.eigh(t)
-        spread = max(tv[-1] - tv[0], 1e-12)
-        # lowest Ritz cluster of this sweep
-        nc = 1
-        while nc < min(max_cluster, k_eff) \
-                and tv[nc] - tv[0] < 1e-2 * spread:
-            nc += 1
-        R = jnp.asarray(tu[:, :nc].T, dtype) @ V2[:k_eff]     # (nc, dim)
-        # merge with the carried cluster block and orthonormalize
-        cand = [R[j] for j in range(nc)] + block
-        basis = []
-        for u in cand:
+        Vd = V2[:k_eff]                                       # (k, dim)
+        extras = []
+        for u in block:
             if deflate:
-                lk = jnp.stack(deflate)
-                u = u - (jnp.conj(lk) @ u) @ lk
-            for b in basis:
-                u = u - jnp.vdot(b, u) * b
+                lkk = jnp.stack(deflate)
+                u = u - (jnp.conj(lkk) @ u) @ lkk
+            for _ in range(2):
+                u = u - (jnp.conj(Vd) @ u) @ Vd
+                for e in extras:
+                    u = u - jnp.vdot(e, u) * e
             nrm = float(jnp.linalg.norm(u))
-            if nrm > 1e-8:
-                basis.append(u / nrm)
-            if len(basis) >= max_cluster + 1:
-                break
-        S = jnp.stack(basis)                                   # (k, dim)
-        HS = jnp.stack([matvec(S[j]) for j in range(S.shape[0])])
-        hs = np.asarray(jnp.conj(S) @ HS.T)
+            if nrm > 1e-7:
+                extras.append(u / nrm)
+        kb = len(extras)
+        n_rr = k_eff + kb
+        cplx = np.iscomplexobj(np.asarray(vec[:0]))
+        hs = np.zeros((n_rr, n_rr), dtype=complex if cplx else float)
+        hs[:k_eff, :k_eff] = t
+        if kb:
+            E = jnp.stack(extras)                             # (kb, dim)
+            HE = jnp.stack([matvec(E[j]) for j in range(kb)])
+            hs[:k_eff, k_eff:] = np.asarray(jnp.conj(Vd) @ HE.T)
+            hs[k_eff:, k_eff:] = np.asarray(jnp.conj(E) @ HE.T)
+            hs[k_eff:, :k_eff] = hs[:k_eff, k_eff:].conj().T
         hs = 0.5 * (hs + hs.conj().T)
         sv, su = np.linalg.eigh(hs)
-        W = jnp.asarray(su.T, dtype) @ S                        # RR vectors
-        HW = jnp.asarray(su.T, dtype) @ HS
-        val = float(sv[0])
+        nw = min(max_cluster, n_rr)
+        cw = jnp.asarray(su[:, :nw].T, dtype)                 # (nw, n_rr)
+        W = cw[:, :k_eff] @ Vd
+        if kb:
+            W = W + cw[:, k_eff:] @ E
         vec = W[0] / jnp.linalg.norm(W[0])
-        resid = float(jnp.linalg.norm(HW[0] - sv[0] * W[0]))
+        hv = matvec(vec)
+        val = float(np.real(jnp.vdot(vec, hv)))
+        rvec = hv - val * vec
+        resid = float(jnp.linalg.norm(rvec))
         scale = max(1.0, abs(val))
-        # carry the near-degenerate partners into the next round
-        cw = max(100.0 * resid, 1e-8 * scale)
-        block = [W[j] for j in range(1, W.shape[0])
-                 if sv[j] - sv[0] < cw][: max_cluster - 1]
+        if resid < best[0]:
+            best = (resid, val, vec)
         if resid < rtol * scale:
             break
-    return val, vec
+        block = [vec] + [W[j] / jnp.linalg.norm(W[j])
+                         for j in range(1, nw)][: max_cluster - 1]
+        start = rvec / resid if resid > 1e-14 * scale else vec
+    return best[1], best[2]
 
 
 @jax.jit

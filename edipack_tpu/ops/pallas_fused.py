@@ -140,6 +140,107 @@ def _matvec_kernel(fop, nmu, nmd, prec,
                   da_ref, db_ref, v3_ref, gup_ref, gdw_ref, out_ref)
 
 
+def _column_block_ds(fop, nmu, nmd, hi_prec, j,
+                     upsrc_ref, dwsrc_ref,
+                     upvh_ref, upvl_ref, dwvh_ref, dwvl_ref,
+                     dah_ref, dbh_ref, dal_ref, dbl_ref,
+                     nl_lo_vals,
+                     v3_ref, gup_ref, gdw_ref, main_ref, corr_ref):
+    """Double-single column block: ONE pass over the operands computes
+
+        main = Hhi V        (hi_prec matmuls, f32 accumulate)
+        corr = Hlo V        (1-pass bf16 matmuls — the term is ~6e-8 |HV|)
+
+    The caller merges in f64: H V = main + corr.  Gathers of V are shared
+    between the two products (same block pattern), so the HBM/VMEM traffic
+    is that of ONE matvec — this replaces the 3-kernel composition that ran
+    15x slower than the f32 kernel (BENCH_r02: 12.876 vs 0.882 ms)."""
+    ddp = fop.ddp
+    nbd = fop.ddp // BLK
+    lo_prec = jax.lax.Precision.DEFAULT
+
+    vj = v3_ref[pl.ds(j * ddp, ddp), :]                      # (ddp, BLK)
+
+    # ---- diagonal (low-rank, hi & lo stacks) ---------------------------
+    dbj = dbh_ref[pl.ds(j * BLK, BLK), :]
+    dcol = jax.lax.dot_general(
+        dah_ref[:], dbj, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    dblj = dbl_ref[pl.ds(j * BLK, BLK), :]
+    dcol_lo = jax.lax.dot_general(
+        dal_ref[:], dblj, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=lo_prec)
+
+    # ---- up factor: one gather feeds both hi and lo matmuls ------------
+    for s in range(nmu):
+        k = upsrc_ref[j, s]
+        gup_ref[:, s * BLK:(s + 1) * BLK] = v3_ref[pl.ds(k * ddp, ddp), :]
+    upbh = upvh_ref[pl.ds(j * (nmu * BLK), nmu * BLK), :]
+    upbl = upvl_ref[pl.ds(j * (nmu * BLK), nmu * BLK), :]
+    main_ref[:] = dcol * vj + jnp.dot(
+        gup_ref[:], upbh, preferred_element_type=jnp.float32,
+        precision=hi_prec)
+    corr_ref[:] = dcol_lo * vj + jnp.dot(
+        gup_ref[:], upbl, preferred_element_type=jnp.float32,
+        precision=lo_prec)
+
+    # ---- dw factor ------------------------------------------------------
+    for r in range(nbd):
+        for s in range(nmd):
+            k = dwsrc_ref[r, s]
+            gdw_ref[s * BLK:(s + 1) * BLK, :] = \
+                v3_ref[pl.ds(j * ddp + k * BLK, BLK), :]
+        dwbh = dwvh_ref[pl.ds(r * (nmd * BLK), nmd * BLK), :]
+        dwbl = dwvl_ref[pl.ds(r * (nmd * BLK), nmd * BLK), :]
+        tm = jax.lax.dot_general(
+            dwbh, gdw_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi_prec)
+        tc = jax.lax.dot_general(
+            dwbl, gdw_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=lo_prec)
+        main_ref[r * BLK:(r + 1) * BLK, :] = \
+            main_ref[r * BLK:(r + 1) * BLK, :] + tm
+        corr_ref[r * BLK:(r + 1) * BLK, :] = \
+            corr_ref[r * BLK:(r + 1) * BLK, :] + tc
+
+    # ---- non-local rectangle shifts (hi -> main, lo -> corr) ------------
+    if fop.nl_runs:
+        nbu = fop.dup // BLK
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1) + j * BLK
+        for rn, vlo in zip(fop.nl_runs, nl_lo_vals):
+            off = rn.su0 - rn.du0
+            q, delta = divmod(off, BLK)
+            b0 = _clip(j + q, 0, nbu - 1)
+            base0 = b0 * ddp + rn.sd0
+            va = v3_ref[pl.ds(base0, rn.ld), :]
+            if delta:
+                b1 = _clip(j + q + 1, 0, nbu - 1)
+                base1 = b1 * ddp + rn.sd0
+                vb = v3_ref[pl.ds(base1, rn.ld), :]
+                t = jnp.concatenate([va[:, delta:], vb[:, :delta]], axis=1)
+            else:
+                t = va
+            mask = ((lane >= rn.du0) & (lane < rn.du0 + rn.lu)
+                    ).astype(jnp.float32)
+            tm = t * mask
+            main_ref[rn.dd0:rn.dd0 + rn.ld, :] = (
+                main_ref[rn.dd0:rn.dd0 + rn.ld, :] + rn.val * tm)
+            corr_ref[rn.dd0:rn.dd0 + rn.ld, :] = (
+                corr_ref[rn.dd0:rn.dd0 + rn.ld, :] + vlo * tm)
+
+
+def _matvec_ds_kernel(fop, nmu, nmd, hi_prec, nl_lo_vals,
+                      upsrc_ref, dwsrc_ref, upvh_ref, upvl_ref,
+                      dwvh_ref, dwvl_ref, dah_ref, dbh_ref, dal_ref, dbl_ref,
+                      v3_ref, main_ref, corr_ref, gup_ref, gdw_ref):
+    j = pl.program_id(0)
+    _column_block_ds(fop, nmu, nmd, hi_prec, j,
+                     upsrc_ref, dwsrc_ref, upvh_ref, upvl_ref,
+                     dwvh_ref, dwvl_ref, dah_ref, dbh_ref, dal_ref, dbl_ref,
+                     nl_lo_vals, v3_ref, gup_ref, gdw_ref, main_ref, corr_ref)
+
+
 def _power_kernel(fop, nmu, nmd, prec, niter,
                   upsrc_ref, dwsrc_ref, upv_ref, dwv_ref, da_ref, db_ref,
                   vin_hbm, w_hbm, norms_ref,
@@ -227,6 +328,90 @@ def _in_specs(pack):
         _full(pack.da.shape, pltpu.VMEM),       # diag a
         _full(pack.db.shape, pltpu.VMEM),       # diag b
     ]
+
+
+class FusedMatvecDS:
+    """Single-pass double-single matvec: (v3 f32) -> (main, corr) f32 planes
+    with  H v  =  main + corr  merged in f64 by the caller.
+
+    main = Hhi v at ``hi_precision`` (default HIGHEST = full-f32 MXU passes);
+    corr = Hlo v at 1-pass bf16 (the term is ~6e-8 of |Hv|).  The input-lo
+    term Hhi (v - f32(v)) is dropped: it is bounded by the f32 ulp of v and
+    sits below the f32 accumulation noise of the main product."""
+
+    def __init__(self, fop: FusedNormalOp, hi_precision: str = "highest"):
+        self.fop = fop
+        self.pack = _OperandPack(fop)
+        self.pack_lo = _OperandPack(fop, up_vals=fop.up_vals_lo,
+                                    dw_vals=fop.dw_vals_lo)
+        a64, b64 = fop.diag_a64, fop.diag_b64
+        ahi = a64.astype(np.float32)
+        alo = (a64 - ahi.astype(np.float64)).astype(np.float32)
+        bhi = b64.astype(np.float32)
+        blo = (b64 - bhi.astype(np.float64)).astype(np.float32)
+        # d_lo ~= ahi @ blo^T + alo @ bhi^T (stacked rank-2R factorization)
+        dal = jnp.asarray(np.concatenate([ahi, alo], axis=1))
+        dbl = jnp.asarray(np.concatenate([blo, bhi], axis=1))
+        nl64 = fop.nl_vals64 if fop.nl_vals64 is not None else np.zeros(0)
+        nl_lo = tuple(float(v - np.float32(v)) for v in nl64)
+        self._ops = (self.pack.upsrc, self.pack.dwsrc,
+                     self.pack.upv, self.pack_lo.upv,
+                     self.pack.dwv, self.pack_lo.dwv,
+                     self.pack.da, self.pack.db, dal, dbl)
+        nbu = fop.dup // BLK
+        prec = (jax.lax.Precision.HIGHEST if hi_precision == "highest"
+                else jax.lax.Precision.HIGH)
+        kern = functools.partial(_matvec_ds_kernel, fop, self.pack.nmu,
+                                 self.pack.nmd, prec, nl_lo)
+        specs = [
+            _full(self.pack.upsrc.shape, pltpu.SMEM),
+            _full(self.pack.dwsrc.shape, pltpu.SMEM),
+            _full(self.pack.upv.shape, pltpu.VMEM),
+            _full(self.pack_lo.upv.shape, pltpu.VMEM),
+            _full(self.pack.dwv.shape, pltpu.VMEM),
+            _full(self.pack_lo.dwv.shape, pltpu.VMEM),
+            _full(self.pack.da.shape, pltpu.VMEM),
+            _full(self.pack.db.shape, pltpu.VMEM),
+            _full(dal.shape, pltpu.VMEM),
+            _full(dbl.shape, pltpu.VMEM),
+            _full((nbu * fop.ddp, BLK), pltpu.VMEM),
+        ]
+        out_spec = pl.BlockSpec((fop.ddp, BLK), lambda j: (j, j - j),
+                                memory_space=pltpu.VMEM)
+        self._call = pl.pallas_call(
+            kern,
+            grid=(nbu,),
+            in_specs=specs,
+            out_specs=(out_spec, out_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((nbu * fop.ddp, BLK), jnp.float32),
+                jax.ShapeDtypeStruct((nbu * fop.ddp, BLK), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((fop.ddp, self.pack.nmu * BLK), jnp.float32),
+                pltpu.VMEM((self.pack.nmd * BLK, BLK), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024),
+            interpret=_interpret(),
+        )
+
+    def __call__(self, v3):
+        return self._call(*self._ops, v3)
+
+
+def fused_ds_vmem_ok(fop: FusedNormalOp,
+                     budget_bytes: int = 118 * 2**20) -> bool:
+    """VMEM feasibility of the DS kernel: one V3 plane + hi AND lo factor
+    tables + the two accumulator output blocks + scratch."""
+    nbu = fop.dup // BLK
+    nbd = fop.ddp // BLK
+    deg_u = int(np.diff(fop.up_ptr).max()) if nbu else 0
+    deg_d = int(np.diff(fop.dw_ptr).max()) if nbd else 0
+    v3 = nbu * fop.ddp * BLK * 4
+    tables = 2 * (nbu * max(deg_u, 1) + nbd * max(deg_d, 1)) * BLK * BLK * 4
+    scratch = fop.ddp * max(deg_u, 1) * BLK * 4 + 4 * fop.ddp * BLK * 4
+    return v3 + tables + scratch <= budget_bytes
 
 
 class FusedMatvec:
@@ -359,49 +544,30 @@ class FusedKron:
 
 
 class MixedFusedKron:
-    """f64-in/f64-out fused matvec in double-single f32 (3 kernel calls).
+    """f64-in/f64-out fused matvec in double-single f32 — ONE kernel call.
 
-    H v = (Hhi vhi)_HIGHEST + Hhi vlo + Hlo vhi  — the same error budget
-    (~3e-7 relative) as ops.matvec.MixedKronMatvec, with the factor
-    products running on the block-compacted fused kernel instead of dense
-    Kronecker matmuls.  Pair with an exact f64 refine (attribute ``exact``)
-    set by the caller for full-precision eigenvalues."""
+    H v = main + corr from :class:`FusedMatvecDS`: main = Hhi f32(v) at
+    full-f32 MXU precision, corr = Hlo f32(v) at bf16.  Error budget is the
+    f32 accumulation noise of the main product (~1e-6 relative on large
+    sectors) — identical to the previous 3-call composition, at ~1/5 the
+    cost.  Pair with an exact f64 refine (attribute ``exact``) set by the
+    caller for full-precision eigenvalues."""
 
     def __init__(self, fop: FusedNormalOp):
         self.fop = fop
         self.dim = fop.n_internal
         self.dtype = jnp.float64
         self.nnz = fop.nnz
-        self._hi = FusedMatvec(fop, precision="highest")
-        self._hi_corr = FusedMatvec(fop, precision="default")
-        # lo-operand call: lo factor blocks, stacked lo diagonal
-        # (a64@b64^T - ahi@bhi^T ~= ahi@blo^T + alo@bhi^T), lo nl values
-        a64, b64 = fop.diag_a64, fop.diag_b64
-        ahi = a64.astype(np.float32)
-        alo = (a64 - ahi.astype(np.float64)).astype(np.float32)
-        bhi = b64.astype(np.float32)
-        blo = (b64 - bhi.astype(np.float64)).astype(np.float32)
-        a_lo = np.concatenate([ahi, alo], axis=1)
-        b_lo = np.concatenate([blo, bhi], axis=1)
-        nl64 = fop.nl_vals64 if fop.nl_vals64 is not None else np.zeros(0)
-        nl_lo = [float(v - np.float32(v)) for v in nl64]
-        self._lo = FusedMatvec(fop, precision="default",
-                               nl_vals=nl_lo,
-                               up_vals=fop.up_vals_lo,
-                               dw_vals=fop.dw_vals_lo,
-                               diag_a=a_lo, diag_b=b_lo)
+        self._ds = FusedMatvecDS(fop)
         self._idx = jax.device_put(jnp.asarray(fop.internal_index_map()))
         mask = np.zeros(fop.n_internal, np.float64)
         mask[fop.internal_index_map()] = 1.0
         self._mask = jax.device_put(jnp.asarray(mask))
 
     def __call__(self, v):
-        v3 = v.reshape(-1, BLK)
-        vhi = v3.astype(jnp.float32)
-        vlo = (v3 - vhi.astype(jnp.float64)).astype(jnp.float32)
-        y = (self._hi(vhi).astype(jnp.float64)
-             + self._hi_corr(vlo).astype(jnp.float64)
-             + self._lo(vhi).astype(jnp.float64))
+        v3 = v.reshape(-1, BLK).astype(jnp.float32)
+        main, corr = self._ds(v3)
+        y = main.astype(jnp.float64) + corr.astype(jnp.float64)
         return y.reshape(-1)
 
     def v0_project(self, v):

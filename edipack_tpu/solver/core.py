@@ -151,11 +151,18 @@ class SolveResult:
 
     @property
     def exct(self):
-        return getattr(self.obs, "exct", np.zeros((4, self.cfg.norb, self.cfg.norb)))
+        e = getattr(self.obs, "exct", None)
+        return e if e is not None else np.zeros((4, self.cfg.norb, self.cfg.norb))
 
     @property
     def evals(self):
-        """All computed sector eigenvalues, ascending (reference ed_get_evals)."""
+        """Energies of the *retained* state list (reference ed_get_evals:
+        ED_DIAG.f90:39 es_return_evals(state_list, ed_evals))."""
+        return np.array([st.energy for st in self.diag.state_list.states])
+
+    @property
+    def evals_all(self):
+        """All computed sector eigenvalues, ascending."""
         parts = [v for v in self.diag.evals_by_sector.values()]
         return np.sort(np.concatenate(parts)) if parts else np.zeros(0)
 
@@ -231,9 +238,11 @@ def solve_impurity(cfg: EDConfig, hloc: np.ndarray, um: Umatrix,
             return None
         from ..ops.fused_normal import build_fused_normal
         from ..ops.pallas_fused import (FusedKron, MixedFusedKron,
-                                        fused_vmem_ok, wrap_exact_internal)
+                                        fused_vmem_ok, fused_ds_vmem_ok,
+                                        wrap_exact_internal)
         fop = build_fused_normal(get_op(sec), cfg.norb)
-        if fop is None or not fused_vmem_ok(fop):
+        vmem_ok = fused_ds_vmem_ok if mixed else fused_vmem_ok
+        if fop is None or not vmem_ok(fop):
             return None
         if mixed:
             mv = MixedFusedKron(fop)

@@ -333,6 +333,73 @@ def compute_observables_joint(cfg: EDConfig, table: SectorTable, sl: StateList,
                 dund += dn_ab
         obs.dust += w[ist] * dust
         obs.dund += w[ist] * dund
+
+        def _expect(opstrings):
+            """Sum_k coeff_k <v| O_k |v> on the electronic block (phonon-
+            diagonal), O_k given as JointTermAccumulator opstrings."""
+            acc = JointTermAccumulator(sec.states, ns)
+            for opstr, coeff in opstrings:
+                acc.add_opstring(list(opstr), coeff)
+            rows, cols, vals = acc.coo()
+            if len(rows) == 0:
+                return 0.0 + 0j
+            tot = 0.0 + 0j
+            for p in range(sec.dim_ph):
+                tot += np.sum(np.conj(v2[p, rows]) * vals * v2[p, cols])
+            return tot
+
+        # Jx spin-exchange / Jp pair-hopping expectations (reference
+        # ED_OBSERVABLES_SUPERC.f90:626-661 / ED_OBSERVABLES_NONSU2.f90):
+        # epot += Jx<X_ab> + Jp<P_ab>, Dse += <X_ab>, Dph += <P_ab>,
+        # with the same operator ordering as the H builder (_jxjp_terms)
+        for a in range(norb):
+            for b in range(norb):
+                if a == b:
+                    continue
+                if um.jx[a, b] != 0:
+                    ex = np.real(_expect([
+                        ((("c", b, SPIN_UP), ("c", a, SPIN_DW),
+                          ("cdg", b, SPIN_DW), ("cdg", a, SPIN_UP)), 1.0)]))
+                    epot += um.jx[a, b] * ex
+                    obs.dse += w[ist] * ex
+                if um.jp[a, b] != 0:
+                    ep = np.real(_expect([
+                        ((("c", b, SPIN_UP), ("c", b, SPIN_DW),
+                          ("cdg", a, SPIN_DW), ("cdg", a, SPIN_UP)), 1.0)]))
+                    epot += um.jp[a, b] * ep
+                    obs.dph += w[ist] * ep
+        # sundry U_ijkl two-body terms (nonsu2 only; superc rejects them at
+        # build time) + mean-field one-body from the normal ordering
+        if um.sundry:
+            epot += np.real(_expect([(t.ops, t.coeff) for t in um.sundry]))
+        mfu, mfd = np.real(um.mf_hloc[0, 0]), np.real(um.mf_hloc[1, 1])
+        if np.any(mfu != 0) or np.any(mfd != 0):
+            epot += float(np.diag(mfu) @ nu + np.diag(mfd) @ nd)
+            hops = []
+            for a in range(norb):
+                for b in range(norb):
+                    if a != b and mfu[a, b] != 0:
+                        hops.append(((("c", b, SPIN_UP), ("cdg", a, SPIN_UP)),
+                                     mfu[a, b]))
+                    if a != b and mfd[a, b] != 0:
+                        hops.append(((("c", b, SPIN_DW), ("cdg", a, SPIN_DW)),
+                                     mfd[a, b]))
+            if hops:
+                epot += np.real(_expect(hops))
+        # off-diagonal Hloc contribution to eknot (reference ED_OBSERVABLES
+        # eknot off-diag terms; includes nonsu2 spin-mixing blocks)
+        hl = np.asarray(hloc, complex)
+        hops = []
+        for s1 in range(cfg.nspin):
+            for s2 in range(cfg.nspin):
+                blk = hl[s1, s2]
+                for a in range(norb):
+                    for b in range(norb):
+                        if (s1, a) != (s2, b) and blk[a, b] != 0:
+                            hops.append(((("c", b, s2), ("cdg", a, s1)),
+                                         blk[a, b]))
+        if hops:
+            obs.eknot += w[ist] * np.real(_expect(hops))
         obs.eint += w[ist] * epot
         if cfg.hfmode:
             ntot = nu + nd
@@ -342,6 +409,29 @@ def compute_observables_joint(cfg: EDConfig, table: SectorTable, sl: StateList,
                     eh += -0.5 * (um.ust[a, b] + um.ustp[a, b]) * (ntot[a] + ntot[b]) \
                         + 0.5 * (um.ust[a, b] + um.ustp[a, b])
             obs.ehartree += w[ist] * eh
+        # nonsu2 exciton order parameters from the spin-resolved impurity
+        # density matrix D[s1 a, s2 b] = <c+_{a s1} c_{b s2}> (reference
+        # ED_OBSERVABLES_NONSU2.f90:330-423 theta/omega construction:
+        # S0 = 2Re(D_uu+D_dd), Tz = 2Re(D_uu-D_dd), Tx = 2Re(D_ud+D_du),
+        # Ty = 2Im(D_du-D_ud))
+        if cfg.ed_mode == "nonsu2" and norb > 1:
+            if obs.exct is None:
+                obs.exct = np.zeros((4, norb, norb))
+            dmat = np.zeros((2, 2, norb, norb), complex)
+            for s1 in range(2):
+                for s2 in range(2):
+                    for a in range(norb):
+                        for b in range(norb):
+                            dmat[s1, s2, a, b] = _expect(
+                                [((("c", b, s2), ("cdg", a, s1)), 1.0)])
+            for a in range(norb):
+                for b in range(norb):
+                    duu, ddd = dmat[0, 0, a, b], dmat[1, 1, a, b]
+                    dud, ddu = dmat[0, 1, a, b], dmat[1, 0, a, b]
+                    obs.exct[0, a, b] += w[ist] * 2 * np.real(duu + ddd)
+                    obs.exct[1, a, b] += w[ist] * 2 * np.real(dud + ddu)
+                    obs.exct[2, a, b] += w[ist] * 2 * np.imag(ddu - dud)
+                    obs.exct[3, a, b] += w[ist] * 2 * np.real(duu - ddd)
         # nonsu2 in-plane magnetization: 2<Sx_a>, 2<Sy_a>
         if cfg.ed_mode == "nonsu2":
             for a in range(norb):

@@ -51,6 +51,8 @@ class Observables:
     dph: float = 0.0
     # single-particle density matrix (Nspin, Ns, Ns) over imp+bath levels
     sp_dm: np.ndarray = None
+    # exciton order parameters (4, Norb, Norb): S0, Tx, Ty, Tz
+    exct: np.ndarray = None
     # 3^Norb impurity configuration probabilities (empty/single/double per
     # orbital; reference observables_normal Prob array)
     prob: np.ndarray = None

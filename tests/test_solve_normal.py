@@ -41,7 +41,7 @@ def test_aim_groundstate_and_observables():
     assert abs(res.docc[0] - docc) < 1e-8
 
     # all sector eigenvalues match the oracle spectrum
-    ev_eng = res.evals
+    ev_eng = res.evals_all
     # oracle spectrum contains every sector; engine computed all dims<=1024
     assert abs(np.sort(ev_eng)[0] - evals[0]) < 1e-10
 
