@@ -63,6 +63,8 @@ from .main import (
     ed_reset_umatrix,
     ed_search_variable,
     ed_update_input,
+    ed_check_convergence,
+    ed_reset_convergence,
     ed_get_reduced_rdm,
     ed_get_spinchi,
     ed_get_denschi,

@@ -120,6 +120,62 @@ def _delta_superc_jax(p, z, cfg: EDConfig):
     return dd, fd
 
 
+def _replica_items(p, cfg: EDConfig, basis: ReplicaBasis):
+    """Iterate the packed replica/general bath: yields (vk (Nspin*Norb,),
+    lam (Nsym,)) per replica, skipping the leading Nsym slot."""
+    nb, no, ns = cfg.nbath, cfg.norb, cfg.nspin
+    nsym = basis.nsym
+    pos = 1
+    for k in range(nb):
+        if cfg.bath_type == "replica":
+            vk = p[pos] * jnp.ones(ns * no)
+            pos += 1
+        else:
+            vk = p[pos: pos + ns * no]
+            pos += ns * no
+        lam = p[pos: pos + nsym]
+        pos += nsym
+        yield vk, lam
+
+
+def _delta_replica_superc_jax(p, z, cfg: EDConfig, basis: ReplicaBasis):
+    """Replica/general superc (Δ, FΔ) via the Nambu 2Norb×2Norb replica
+    inversion (bath.functions._delta_replica_superc, jax/autodiff form)."""
+    no = cfg.norb
+    ops = jnp.asarray(basis.ops)               # (Nsym, 2, 2, No, No) Nambu
+    dd = jnp.zeros((no, no, z.shape[0]), dtype=z.dtype)
+    fd = jnp.zeros_like(dd)
+    eye2 = jnp.eye(2 * no)
+    for vk, lam in _replica_items(p, cfg, basis):
+        hk = jnp.einsum("s,sab->ab", lam, ops[:, 0, 0])
+        dk = jnp.einsum("s,sab->ab", lam, ops[:, 0, 1])
+        hnam = jnp.block([[hk, dk], [jnp.conj(dk.T), -hk.T]])
+        vnam = jnp.concatenate([vk[:no], -vk[:no]])
+        g = jnp.linalg.inv(z[:, None, None] * eye2[None] - hnam[None])
+        d = vnam[None, :, None] * g * vnam[None, None, :]
+        dd = dd + jnp.moveaxis(d[:, :no, :no], 0, -1)
+        fd = fd + jnp.moveaxis(d[:, :no, no:], 0, -1)
+    return dd, fd
+
+
+def _delta_replica_nonsu2_jax(p, z, cfg: EDConfig, basis: ReplicaBasis):
+    """Replica/general nonsu2 Δ^{ss'}(z) = Σ_k V (z - H_k)⁻¹ V with the full
+    spin-space replica Hamiltonians (bath.functions.delta_bath replica)."""
+    ns, no = cfg.nspin, cfg.norb
+    nso = ns * no
+    ops = jnp.asarray(basis.ops)               # (Nsym, ns, ns, No, No)
+    out = jnp.zeros((ns, ns, no, no, z.shape[0]), dtype=z.dtype)
+    eye = jnp.eye(nso)
+    for vk, lam in _replica_items(p, cfg, basis):
+        hk = jnp.einsum("s,sij->ij", lam,
+                        ops.transpose(0, 1, 3, 2, 4).reshape(-1, nso, nso))
+        g = jnp.linalg.inv(z[:, None, None] * eye[None] - hk[None])
+        d = vk[None, :, None] * g * vk[None, None, :]
+        out = out + jnp.moveaxis(
+            d.reshape(-1, ns, no, ns, no), 0, -1).transpose(0, 2, 1, 3, 4)
+    return out
+
+
 def _unpack_nonsu2(p, cfg: EDConfig):
     ns, no, nb = cfg.nspin, cfg.norb, cfg.nbath
     if cfg.bath_type == "normal":
@@ -191,13 +247,31 @@ def chi2_fitgf(cfg: EDConfig, func: np.ndarray, bath_array: np.ndarray,
     diag_only = (cfg.bath_type == "normal")
     no = cfg.norb
 
+    def reduce_chi2(diff):
+        """cg_norm reduction (reference ED_FIT_*: 'elemental' sums
+        |diff_ab|^pow per component; 'frobenius' takes the per-frequency
+        matrix Frobenius norm^pow, chi2_delta_general_frobenius)."""
+        if cfg.cg_norm == "frobenius":
+            fro = jnp.sqrt(jnp.sum(jnp.abs(diff) ** 2,
+                                   axis=tuple(range(diff.ndim - 1))))
+            return jnp.sum(wts * fro ** cfg.cg_pow) / nfit \
+                / (cfg.nspin * cfg.norb)
+        return jnp.sum(wts * jnp.abs(diff) ** cfg.cg_pow) / nfit
+
     if is_replica:
         fit_idx = np.arange(1, p_full.shape[0])
     elif mode == "normal":
         ns, nb = cfg.nspin, cfg.nbath
         if cfg.bath_type == "normal":
-            idx_e = (np.arange(no * nb) + s * no * nb)
-            idx_v = ns * no * nb + s * no * nb + np.arange(no * nb)
+            if iorb is not None:
+                # single-orbital component fit (reference
+                # ED_BATH_FIT.f90:112-113): only orbital iorb's (e, v) move
+                io = iorb - 1
+                idx_e = s * no * nb + io * nb + np.arange(nb)
+                idx_v = ns * no * nb + s * no * nb + io * nb + np.arange(nb)
+            else:
+                idx_e = (np.arange(no * nb) + s * no * nb)
+                idx_v = ns * no * nb + s * no * nb + np.arange(no * nb)
         else:
             idx_e = s * nb + np.arange(nb)
             idx_v = ns * nb + s * no * nb + np.arange(no * nb)
@@ -219,7 +293,10 @@ def chi2_fitgf(cfg: EDConfig, func: np.ndarray, bath_array: np.ndarray,
 
         def model(p_fit):
             p = p_full.at[fit_idx].set(p_fit)
-            dd, fd = _delta_superc_jax(p, z, cfg)
+            if is_replica:
+                dd, fd = _delta_replica_superc_jax(p, z, cfg, basis)
+            else:
+                dd, fd = _delta_superc_jax(p, z, cfg)
             if cfg.cg_scheme != "weiss":
                 return jnp.stack([dd, fd])
             a11 = (z[:, None, None] + cfg.xmu) * jnp.eye(no)[None] \
@@ -236,7 +313,7 @@ def chi2_fitgf(cfg: EDConfig, func: np.ndarray, bath_array: np.ndarray,
             diff = model(p_fit) - target
             if diag_only:
                 diff = diff * jnp.eye(no)[None, :, :, None]
-            return jnp.sum(wts[None, None, None, :] * jnp.abs(diff) ** cfg.cg_pow) / nfit
+            return reduce_chi2(diff)
 
     elif mode == "nonsu2":
         tg = np.asarray(func)   # (Nspin,Nspin,No,No,L)
@@ -245,7 +322,10 @@ def chi2_fitgf(cfg: EDConfig, func: np.ndarray, bath_array: np.ndarray,
 
         def model(p_fit):
             p = p_full.at[fit_idx].set(p_fit)
-            dd = _delta_nonsu2_jax(p, z, cfg)     # (s,s',a,b,L)
+            if is_replica:
+                dd = _delta_replica_nonsu2_jax(p, z, cfg, basis)
+            else:
+                dd = _delta_nonsu2_jax(p, z, cfg)  # (s,s',a,b,L)
             if cfg.cg_scheme != "weiss":
                 return dd
             ns_ = cfg.nspin
@@ -262,7 +342,7 @@ def chi2_fitgf(cfg: EDConfig, func: np.ndarray, bath_array: np.ndarray,
             diff = model(p_fit) - target
             if diag_only:
                 diff = diff * jnp.eye(no)[None, None, :, :, None]
-            return jnp.sum(wts * jnp.abs(diff) ** cfg.cg_pow) / nfit
+            return reduce_chi2(diff)
 
     else:
         if is_replica:
@@ -284,8 +364,11 @@ def chi2_fitgf(cfg: EDConfig, func: np.ndarray, bath_array: np.ndarray,
             diff = f - target
             if diag_only:
                 diff = diff * jnp.eye(cfg.norb)[:, :, None]
-            an = jnp.abs(diff) ** cfg.cg_pow
-            return jnp.sum(wts[None, None, :] * an) / nfit
+            if iorb is not None:
+                io = iorb - 1
+                mask = jnp.zeros((no, no)).at[io, io].set(1.0)
+                diff = diff * mask[:, :, None]
+            return reduce_chi2(diff)
 
     val_grad = jax.jit(jax.value_and_grad(chi2))
 
@@ -295,8 +378,19 @@ def chi2_fitgf(cfg: EDConfig, func: np.ndarray, bath_array: np.ndarray,
 
     x0 = np.asarray(p_full)[np.asarray(fit_idx)]
     method = "CG" if cfg.cg_method == 0 else "L-BFGS-B"
-    opts = ({"maxiter": cfg.cg_niter, "gtol": cfg.cg_ftol * 1e-2}
-            if method == "CG" else {"maxiter": cfg.cg_niter, "ftol": cfg.cg_ftol})
+    if method == "CG":
+        opts = {"maxiter": cfg.cg_niter, "gtol": cfg.cg_ftol * 1e-2}
+    else:
+        # cg_stop (reference ED_FIT_COMMON stopping conditions): 0 = both
+        # C1 (function change) and C2 (argument change), 1 = C1 only,
+        # 2 = C2 only — mapped onto scipy L-BFGS-B's ftol/gtol pair
+        opts = {"maxiter": cfg.cg_niter}
+        if cfg.cg_stop in (0, 1):
+            opts["ftol"] = cfg.cg_ftol
+        if cfg.cg_stop in (0, 2):
+            opts["gtol"] = cfg.cg_ftol * 1e-2
+        if cfg.cg_stop == 2:
+            opts["ftol"] = 1e-30   # disable C1, stop on gradient/step only
 
     # multi-start: the chi^2 landscape has spurious basins (a bath pole
     # escaping to large |e| with v->0); a few perturbed restarts recover the

@@ -61,3 +61,50 @@ def make_basis(ops, lambdas, nbath: int = None) -> ReplicaBasis:
             raise ValueError("nbath required when lambdas is a single vector")
         lam = np.tile(lam[None, :], (nbath, 1))
     return ReplicaBasis(ops, lam)
+
+
+def save_hbasis(basis: ReplicaBasis, path: str) -> None:
+    """Write the matrix basis in the reference's Bfile format
+    (ED_BATH_REPLICA.f90:203-233): first line Nsym; then per symmetry, one
+    line per (ispin, iorb) holding O(ispin, jspin, iorb, jorb) as Fortran
+    complex tuples with jorb fastest within jspin."""
+    nsym, ns = basis.nsym, basis.ops.shape[1]
+    no = basis.ops.shape[3]
+    with open(path, "w") as f:
+        f.write(f" {nsym}\n")
+        for k in range(nsym):
+            for s1 in range(ns):
+                for a in range(no):
+                    vals = [basis.ops[k, s1, s2, a, b]
+                            for s2 in range(ns) for b in range(no)]
+                    f.write(" " + "  ".join(
+                        f"({v.real:.12f},{v.imag:.12f})" for v in vals) + "\n")
+            f.write("\n")
+
+
+def read_hbasis(path: str, nspin: int, norb: int,
+                linit=None) -> ReplicaBasis:
+    """Read a Bfile written by save_hbasis / the reference save_Hreplica."""
+    import re as _re
+    tok = _re.compile(r"\(\s*([^,()\s]+)\s*,\s*([^,()\s]+)\s*\)")
+    with open(path) as f:
+        lines = [ln for ln in f.read().splitlines()]
+    nsym = int(lines[0].split()[0])
+    ops = np.zeros((nsym, nspin, nspin, norb, norb), complex)
+    li = 1
+    for k in range(nsym):
+        for s1 in range(nspin):
+            for a in range(norb):
+                while li < len(lines) and not lines[li].strip():
+                    li += 1
+                vals = [complex(float(m.group(1)), float(m.group(2)))
+                        for m in tok.finditer(lines[li])]
+                li += 1
+                idx = 0
+                for s2 in range(nspin):
+                    for b in range(norb):
+                        ops[k, s1, s2, a, b] = vals[idx]
+                        idx += 1
+    if linit is None:
+        linit = np.zeros((1, nsym))
+    return ReplicaBasis(ops, np.asarray(linit, float))

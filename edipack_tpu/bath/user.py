@@ -45,6 +45,11 @@ def clear_global_basis() -> None:
     _global_basis = None
 
 
+def _set_global_basis(basis: ReplicaBasis) -> None:
+    global _global_basis
+    _global_basis = basis
+
+
 # ---------------------------------------------------------------------------
 # packed-array symmetrizations (normal/hybrid baths)
 # ---------------------------------------------------------------------------

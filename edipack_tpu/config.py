@@ -48,6 +48,9 @@ class EDConfig:
     nloop: int = 100
     nsuccess: int = 1
     dmft_error: float = 1e-5
+    # symmetry-breaking field: exported for user drivers (the reference
+    # library itself has no consumer; test drivers seed replica lambdas
+    # with it, ed_replica_nonsu2.f90)
     sb_field: float = 0.1
     deltasc: float = 0.02
     beta: float = 1000.0     # inverse temperature (IR cutoff at T=0)
@@ -140,6 +143,9 @@ class EDConfig:
     cg_scheme: str = "weiss"  # weiss | delta
     cg_norm: str = "elemental"  # elemental | frobenius
     cg_pow: int = 2
+    # legacy knobs of the reference's cg_method=1 'minimize' backend
+    # (Krauth vs Lichtenstein); this engine's cg_method=1 maps to scipy
+    # L-BFGS-B, which has no equivalent switches
     cg_minimize_ver: bool = False
     cg_minimize_hh: float = 1e-4
 
@@ -152,6 +158,8 @@ class EDConfig:
     sectorfile: str = "sectors"
     hfile: str = "hamiltonian"
     bfile: str = "hbasis"
+    # legacy parity: the reference exports HLOCfile but never reads it
+    # (only re-exported at EDIPACK.f90:20); Hloc enters via ed_set_hloc
     hlocfile: str = "inputHLOC.in"
     umatrix_file: str = "umatrix"
     print_input_vars: bool = True
@@ -212,6 +220,16 @@ class EDConfig:
                 raise ValueError("ed_total_ud=False requires ed_mode=normal")
         if self.ed_finite_temp and self.lanc_nstates_total == 1:
             raise ValueError("ed_finite_temp requires lanc_nstates_total > 1")
+        if self.lanc_method not in ("arpack", "lanczos"):
+            raise ValueError(
+                f"lanc_method '{self.lanc_method}' not supported: this "
+                "engine provides restarted deflated Lanczos ('arpack' "
+                "semantics) and plain long-sweep Lanczos ('lanczos'); "
+                "dvdson has no equivalent")
+        if self.cg_norm not in ("elemental", "frobenius"):
+            raise ValueError("cg_norm must be 'elemental' or 'frobenius'")
+        if self.cg_stop not in (0, 1, 2):
+            raise ValueError("cg_stop must be 0, 1 or 2")
         if self.nph > 0 and self.ed_mode == "nonsu2":
             raise ValueError("phonons not supported in nonsu2 mode")
         if self.ed_mixed_matvec not in ("auto", "always", "never"):

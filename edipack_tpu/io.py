@@ -174,8 +174,13 @@ def write_all_outputs(cfg: EDConfig, result) -> None:
     """Everything ed_solve writes when ed_write_files is on."""
     os.makedirs(cfg.ed_output_dir, exist_ok=True)
     write_observables(cfg, result.obs)
-    write_observables(cfg, result.obs, last=False)
+    if cfg.ed_obs_all:
+        # append per-loop history (reference observables_all.ed, gated by
+        # ED_OBS_ALL)
+        write_observables(cfg, result.obs, last=False)
     write_energy(cfg, result.obs)
+    if result.gf is not None and getattr(result.gf, "channels", None):
+        write_gf_text(cfg, result)
     write_eigenvalues(cfg, result.diag, result.table)
     write_state_list_restart(cfg, result.diag, result.table)
     write_sectors_restart(cfg, result.diag, result.table)
@@ -190,3 +195,105 @@ def write_all_outputs(cfg: EDConfig, result) -> None:
     if result.chi is not None and getattr(result.chi, "channels", None):
         result.chi.save(os.path.join(
             cfg.ed_output_dir, f"chimatrix{cfg.ed_file_suffix}.npz"))
+
+
+# ---------------------------------------------------------------------------
+# GF / Sigma / chi text outputs (reference ED_IO print routines: one file per
+# component, columns [w, Im F, Re F]; names impG_l{ab}_s{ss'}_iw.ed etc.,
+# ED_GREENS_FUNCTIONS.f90:292-338/383+)
+# ---------------------------------------------------------------------------
+
+
+def _splot(cfg: EDConfig, name: str, x, f) -> None:
+    path = os.path.join(cfg.ed_output_dir, name + cfg.ed_file_suffix + ".ed")
+    f = np.asarray(f)
+    with open(path, "w") as fh:
+        if np.iscomplexobj(f):
+            for xi, fi in zip(x, f):
+                fh.write(f"{xi:.12f} {fi.imag:.12e} {fi.real:.12e}\n")
+        else:
+            for xi, fi in zip(x, f):
+                fh.write(f"{xi:.12f} {fi:.12e}\n")
+
+
+def _gf5(arr, cfg: EDConfig):
+    """Normalize getter output to (Nspin, Nspin, Norb, Norb, L)."""
+    arr = np.asarray(arr)
+    if arr.ndim == 3:
+        return arr[None, None]
+    return arr
+
+
+def _print_components(cfg: EDConfig, tag: str, axis_tag: str, x, arr) -> None:
+    arr = _gf5(arr, cfg)
+    ns, no = arr.shape[0], arr.shape[2]
+    for s1 in range(ns):
+        for s2 in range(ns):
+            for a in range(no):
+                for b in range(no):
+                    comp = arr[s1, s2, a, b]
+                    if a != b or s1 != s2:
+                        if not np.any(comp):
+                            continue
+                        lab = f"_l{a + 1}{b + 1}_s{s1 + 1}{s2 + 1}"
+                    else:
+                        lab = f"_l{a + 1}{a + 1}_s{s1 + 1}"
+                    _splot(cfg, f"{tag}{lab}_{axis_tag}", x, comp)
+
+
+def write_gf_text(cfg: EDConfig, result) -> None:
+    """impG/impF/impG0/impSigma/impSelf text files on both axes, gated by
+    the ed_print_* flags, plus chi files (ed_print_chi*)."""
+    wm = (2 * np.arange(cfg.lmats) + 1) * np.pi / cfg.beta
+    zm = 1j * wm
+    wr = np.linspace(cfg.wini, cfg.wfin, cfg.lreal)
+    zr = wr + 1j * cfg.eps
+    superc = cfg.ed_mode == "superc"
+    if cfg.ed_print_g:
+        _print_components(cfg, "impG", "iw", wm, result.get_gimp(zm, "m"))
+        _print_components(cfg, "impG", "realw", wr, result.get_gimp(zr, "r"))
+        if superc:
+            _print_components(cfg, "impF", "iw", wm,
+                              result.get_gimp(zm, "m", typ="a"))
+            _print_components(cfg, "impF", "realw", wr,
+                              result.get_gimp(zr, "r", typ="a"))
+        # imaginary-time diagonal components from the KL poles (Ltau grid)
+        if result.gf is not None and cfg.ed_mode == "normal":
+            tau = np.linspace(0.0, cfg.beta, cfg.ltau)
+            for s in range(cfg.nspin):
+                for a in range(cfg.norb):
+                    if ("g", s, a, a) in result.gf.channels:
+                        gt = result.gf.eval_tau(("g", s, a, a), tau, cfg.beta)
+                        _splot(cfg, f"impG_l{a + 1}{a + 1}_s{s + 1}_tau",
+                               tau, gt)
+    if cfg.ed_print_g0:
+        _print_components(cfg, "impG0", "iw", wm, result.get_g0imp(zm, "m"))
+        _print_components(cfg, "impG0", "realw", wr, result.get_g0imp(zr, "r"))
+    if cfg.ed_print_sigma:
+        _print_components(cfg, "impSigma", "iw", wm, result.get_sigma(zm, "m"))
+        _print_components(cfg, "impSigma", "realw", wr,
+                          result.get_sigma(zr, "r"))
+        if superc:
+            _print_components(cfg, "impSelf", "iw", wm,
+                              result.get_sigma(zm, "m", typ="a"))
+            _print_components(cfg, "impSelf", "realw", wr,
+                              result.get_sigma(zr, "r", typ="a"))
+    # susceptibilities (bosonic axis: nu_n = 2 n pi / beta)
+    if result.chi is not None and getattr(result.chi, "channels", None):
+        vm = 1j * 2 * np.arange(cfg.lmats) * np.pi / cfg.beta
+        names = {"spin": ("spinChi", cfg.ed_print_chispin),
+                 "dens": ("densChi", cfg.ed_print_chidens),
+                 "pair": ("pairChi", cfg.ed_print_chipair),
+                 "exct_s": ("exctChi_singlet", cfg.ed_print_chiexct),
+                 "exct_t": ("exctChi_tripletXY", cfg.ed_print_chiexct),
+                 "exct_tz": ("exctChi_tripletZ", cfg.ed_print_chiexct)}
+        for key in result.chi.channels:
+            kind = key[0]
+            if kind not in names:
+                continue
+            fname, on = names[kind]
+            if not on:
+                continue
+            a, b = key[1] + 1, key[2] + 1
+            _splot(cfg, f"{fname}_l{a}{b}_iv", np.imag(vm),
+                   result.chi.eval(key, vm))

@@ -43,6 +43,19 @@ class EDSolver:
         """Initialize (or adopt) the bath; returns the packed bath array
         (reference ed_init_solver fills the user array in place)."""
         self.basis = get_global_basis()
+        if self.basis is not None:
+            # re-initialize the replica matrix basis from <bfile>.restart if
+            # present (reference init_dmft_bath Bfile hook,
+            # ED_BATH_DMFT.f90:191-193 / ED_BATH_REPLICA.f90:236-268)
+            import os
+            bpath = self.cfg.bfile + self.cfg.ed_file_suffix + ".restart"
+            if os.path.exists(bpath):
+                from .bath.replica import read_hbasis
+                ns_eff = self.basis.ops.shape[1]
+                self.basis = read_hbasis(bpath, ns_eff, self.cfg.norb,
+                                         linit=self.basis.linit)
+                from .bath.user import _set_global_basis
+                _set_global_basis(self.basis)
         if bath_array is not None and np.asarray(bath_array).size \
                 == get_bath_dimension(self.cfg, self.basis) \
                 and np.any(np.asarray(bath_array) != 0):
@@ -583,3 +596,40 @@ def ed_search_chemical_potential(xmu: float, ntmp: float, converged: bool):
     """Adjust the chemical potential toward cfg.nread (reference
     search_chemical_potential, ED_AUX_FUNX.f90:1360-1516)."""
     return ed_search_variable(xmu, ntmp, converged)
+
+
+# ---------------------------------------------------------------------------
+# DMFT-loop convergence helper (consumes dmft_error / nsuccess, the knobs the
+# reference exports for the user loop, doc/quickstart/02_dmft.f90:99-104)
+# ---------------------------------------------------------------------------
+
+_conv_state = {"prev": None, "count": 0}
+
+
+def ed_check_convergence(func, threshold: Optional[float] = None,
+                         nsuccess: Optional[int] = None):
+    """Relative-change convergence check for the user's DMFT loop:
+    err = max |func - func_prev| / max(|func|, 1e-12); converged once err <
+    threshold (default cfg.dmft_error) for ``nsuccess`` (default
+    cfg.nsuccess) successive calls. Returns (err, converged)."""
+    cfg = get_config()
+    thr = cfg.dmft_error if threshold is None else threshold
+    need = cfg.nsuccess if nsuccess is None else nsuccess
+    f = np.asarray(func)
+    prev = _conv_state["prev"]
+    if prev is None or prev.shape != f.shape:
+        err = 1.0
+    else:
+        scale = max(float(np.abs(f).max()), 1e-12)
+        err = float(np.abs(f - prev).max()) / scale
+    _conv_state["prev"] = f.copy()
+    if err < thr:
+        _conv_state["count"] += 1
+    else:
+        _conv_state["count"] = 0
+    return err, _conv_state["count"] >= need
+
+
+def ed_reset_convergence() -> None:
+    _conv_state["prev"] = None
+    _conv_state["count"] = 0

@@ -290,16 +290,65 @@ class JointMatvec:
             else:
                 self.eph_dense = None
         self.nnz = op.nnz_estimate()
+        # set by parallel.mesh.shard_joint_matvec: padded ELL row count (the
+        # tables are row-sharded over the mesh; the gather makes GSPMD
+        # all-gather v — the reference's Allgatherv row split)
+        self._el_padded = None
 
     def __call__(self, v):
         v2 = v.reshape(self.dim_ph, self.dim_el)
-        gathered = jnp.take(v2, self.cols, axis=1)          # (dp, de, K)
+        gathered = jnp.take(v2, self.cols, axis=1)          # (dp, de[p], K)
         out = jnp.sum(self.vals[None, :, :] * gathered, axis=-1)
+        if self._el_padded is not None and self._el_padded != self.dim_el:
+            out = out[:, :self.dim_el]
         if self.has_ph:
             out = out + self.ph_mat @ v2
             ev = self.eph_diag[None, :] * v2
             if self.eph_dense is not None:
                 ev = ev + v2 @ self.eph_dense.T
+            out = out + self.ph_x @ ev
+        return out.reshape(-1)
+
+
+class JointMatvecDirect:
+    """Memory-lean 'direct' joint matvec (the ``ed_sparse_H=F`` analog,
+    reference ED_*/direct/ on-the-fly HxV): applies the raw COO term list
+    with a scatter-add instead of materializing the padded ELL tables —
+    O(nnz) storage instead of O(dim*K), trading the ELL's regular gather
+    for XLA scatter-adds."""
+
+    def __init__(self, op, dtype=jnp.complex128):
+        self.dim_el = op.dim_el
+        self.dim_ph = op.sector.dim_ph
+        self.dim = self.dim_el * self.dim_ph
+        self.dtype = dtype
+        self.rows = jax.device_put(jnp.asarray(op.rows, jnp.int32))
+        self.cols = jax.device_put(jnp.asarray(op.cols, jnp.int32))
+        self.vals = jax.device_put(jnp.asarray(op.vals, dtype))
+        self.diag = jax.device_put(jnp.asarray(op.diag, dtype))
+        self.has_ph = op.ph_mat is not None
+        if self.has_ph:
+            self.ph_mat = jax.device_put(jnp.asarray(op.ph_mat, dtype))
+            self.ph_x = jax.device_put(jnp.asarray(op.ph_x, dtype))
+            self.eph_diag = jax.device_put(jnp.asarray(op.eph_diag, dtype))
+            if op.eph_rows is not None and len(op.eph_rows):
+                self.eph_rows = jax.device_put(jnp.asarray(op.eph_rows, jnp.int32))
+                self.eph_cols = jax.device_put(jnp.asarray(op.eph_cols, jnp.int32))
+                self.eph_vals = jax.device_put(jnp.asarray(op.eph_vals, dtype))
+            else:
+                self.eph_rows = None
+        self.nnz = op.nnz_estimate()
+
+    def __call__(self, v):
+        v2 = v.reshape(self.dim_ph, self.dim_el)
+        out = self.diag[None, :] * v2
+        out = out.at[:, self.rows].add(self.vals[None, :] * v2[:, self.cols])
+        if self.has_ph:
+            out = out + self.ph_mat @ v2
+            ev = self.eph_diag[None, :] * v2
+            if self.eph_rows is not None:
+                ev = ev.at[:, self.eph_rows].add(
+                    self.eph_vals[None, :] * v2[:, self.eph_cols])
             out = out + self.ph_x @ ev
         return out.reshape(-1)
 

@@ -55,3 +55,44 @@ def shard_kron_matvec(mv, mesh: Mesh):
               for name, arr in mv.ops.items()}
     mv._sharding = sh
     return mv
+
+
+def joint_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding of a joint-sector tensor V[ph, el]: el rows sharded."""
+    return NamedSharding(mesh, P(None, "dw"))
+
+
+def shard_joint_matvec(mv, mesh: Mesh):
+    """Row-split a JointMatvec's padded-ELL tables over the 'dw' mesh axis.
+
+    TPU-native form of the reference's superc/nonsu2 1-D row decomposition
+    (ED_SUPERC/ED_HAMILTONIAN_SUPERC_STORED_HxV.f90:366-432): each device
+    owns a contiguous block of electronic rows of (cols, vals); the input
+    vector gather `take(v, cols, axis=1)` makes GSPMD insert the all-gather
+    of v over ICI (the MPI_Allgatherv equivalent), after which the ELL
+    contraction is local. Phonon/e-ph operators stay replicated (they act on
+    the un-sharded phonon axis or via an el-contraction GSPMD reshards)."""
+    import jax.numpy as jnp
+    row_sh = NamedSharding(mesh, P("dw", None))
+    rep = replicated(mesh)
+    n_dw = mesh.shape["dw"]
+    de = mv.cols.shape[0]
+    dep = -(-de // n_dw) * n_dw
+    if dep != de:
+        # pad rows to a mesh multiple (device_put needs divisibility);
+        # padded rows read v[0] with weight 0 and are sliced off in __call__
+        pad = dep - de
+        mv.cols = jnp.concatenate(
+            [mv.cols, jnp.zeros((pad, mv.cols.shape[1]), mv.cols.dtype)])
+        mv.vals = jnp.concatenate(
+            [mv.vals, jnp.zeros((pad, mv.vals.shape[1]), mv.vals.dtype)])
+    mv.cols = jax.device_put(mv.cols, row_sh)
+    mv.vals = jax.device_put(mv.vals, row_sh)
+    if getattr(mv, "has_ph", False):
+        mv.ph_mat = jax.device_put(mv.ph_mat, rep)
+        mv.ph_x = jax.device_put(mv.ph_x, rep)
+        mv.eph_diag = jax.device_put(mv.eph_diag, rep)
+        if mv.eph_dense is not None:
+            mv.eph_dense = jax.device_put(mv.eph_dense, rep)
+    mv._el_padded = dep
+    return mv

@@ -81,8 +81,12 @@ class SolveResult:
             from ..bath.functions import invf0_bath
             from .core_joint import eval_gf_superc, sigma_superc
             g, f, _ = eval_gf_superc(self.cfg, self.gf, z)
+            # F21 = F evaluated at conj(z) (reference get_impF_superc
+            # zconj=.true.) — enters the Nambu 21 block as conj(F21)^T
+            _, f21, _ = eval_gf_superc(self.cfg, self.gf, np.conj(z))
             if0 = invf0_bath(self.cfg, self.bath, self.hloc_anomalous, z)
-            sigma, self_ = sigma_superc(self.cfg, g, f, ig0, if0, axis=axis[:1])
+            sigma, self_ = sigma_superc(self.cfg, g, f, ig0, if0,
+                                        axis=axis[:1], f21=f21)
             return sigma if typ == "n" else self_
         g = self.get_gimp(z, axis, "n")
         return sigma_normal(self.cfg, g, ig0)

@@ -105,9 +105,14 @@ def build_gf_superc(cfg: EDConfig, table: SectorTable, sl: StateList,
             channel(("barg", a), jbp, [("c", a, dw)], [1.0], 1.0, +1)
             channel(("barg", a), jbm, [("cdg", a, dw)], [1.0], 1.0, -1)
         if offdiag:
+            # every ORDERED pair (a,b): G_ab(z) and G_ba(z) are distinct
+            # functions on the Matsubara axis (reference hybrid/replica
+            # superc builds lanc_build_gf_superc_Gmix(iorb,jorb) for all
+            # iorb /= jorb, ED_GF_SUPERC.f90) — symmetrizing them corrupts
+            # the Nambu inversion at the phi^2 level
             for a in range(norb):
                 for b in range(norb):
-                    if a >= b:
+                    if a == b:
                         continue
                     jp = table.cdg_sector(st.sector, up)
                     jm = table.c_sector(st.sector, up)
@@ -148,19 +153,24 @@ def eval_gf_superc(cfg: EDConfig, gf: GFMatrix, z):
         barg[a] = gf.eval(("barg", a), z)
     for a in range(norb):
         for b in range(norb):
-            if a < b and ("gaux", a, b) in gf.channels:
+            if a != b and ("gaux", a, b) in gf.channels:
                 aux = gf.eval(("gaux", a, b), z)
-                gab = 0.5 * (aux - (1 - 1j) * (g[0, 0, a, a] + g[0, 0, b, b]))
-                g[0, 0, a, b] = gab
-                g[0, 0, b, a] = gab
+                g[0, 0, a, b] = 0.5 * (aux - (1 - 1j)
+                                       * (g[0, 0, a, a] + g[0, 0, b, b]))
             if ("faux", a, b) in gf.channels:
                 aux = gf.eval(("faux", a, b), z)
                 f[0, 0, a, b] = 0.5 * (aux - (1 - 1j) * (g[0, 0, a, a] + barg[b]))
     return g, f, barg
 
 
-def sigma_superc(cfg: EDConfig, g, f, invg0, invf0, axis="m"):
-    """Nambu Dyson (reference get_Sigma_superc): returns (Sigma, Self)."""
+def sigma_superc(cfg: EDConfig, g, f, invg0, invf0, axis="m", f21=None):
+    """Nambu Dyson (reference get_Sigma_superc, ED_GF_SUPERC.f90:938-1020):
+    returns (Sigma, Self).
+
+    ``f21``: the lower-left anomalous function F21 = F(z*) (the reference's
+    get_impF_superc(zconj=.true.)); the Nambu 21 block is conj(F21)^T.
+    Using conj(F12) instead is wrong by 2i Im F on the Matsubara axis — a
+    phi^2-scale systematic in Sigma.  Falls back to conj(f) when absent."""
     norb = cfg.norb
     lz = g.shape[-1]
     sigma = np.zeros_like(g)
@@ -172,7 +182,9 @@ def sigma_superc(cfg: EDConfig, g, f, invg0, invf0, axis="m"):
             g22 = -np.conj(gm)
         else:
             g22 = -np.conj(g[0, 0, :, :, lz - 1 - i])
-        m = np.block([[gm, fm], [np.conj(fm.T), g22]])
+        m21 = np.conj(f21[0, 0, :, :, i]).T if f21 is not None \
+            else np.conj(fm.T)
+        m = np.block([[gm, fm], [m21, g22]])
         mi = np.linalg.inv(m)
         sigma[0, 0, :, :, i] = invg0[0, 0, :, :, i] - mi[:norb, :norb]
         self_[0, 0, :, :, i] = invf0[0, 0, :, :, i] - mi[:norb, norb:]
@@ -488,9 +500,29 @@ def solve_impurity_joint(cfg: EDConfig, hloc, um: Umatrix, bath: DmftBath,
                 cfg, sec, hloc, um, bath, hloc_anomalous=hloc_anomalous)
         return op_cache[sec.index]
 
+    # multi-chip: row-split the joint ELL over the device mesh (the
+    # reference's superc/nonsu2 Allgatherv decomposition,
+    # ED_SUPERC/ED_HAMILTONIAN_SUPERC_STORED_HxV.f90:366-432)
+    import jax as _jax
+    _ndev = len(_jax.devices())
+    _mesh = None
+    if _ndev > 1:
+        from ..parallel.mesh import make_mesh
+        _mesh = make_mesh(sec_axis=1)
+
     def matvec_builder(sec: Sector) -> JointMatvec:
         if sec.index not in mv_cache:
-            mv_cache[sec.index] = JointMatvec(get_op(sec))
+            if not cfg.ed_sparse_h:
+                # matrix-free COO application (reference ed_sparse_H=F,
+                # ED_*/direct/ trees): O(nnz) memory, no padded ELL
+                from ..ops.matvec import JointMatvecDirect
+                mv = JointMatvecDirect(get_op(sec))
+            else:
+                mv = JointMatvec(get_op(sec))
+                if _mesh is not None and sec.dim > 4 * cfg.lanc_dim_threshold:
+                    from ..parallel.mesh import shard_joint_matvec
+                    mv = shard_joint_matvec(mv, _mesh)
+            mv_cache[sec.index] = mv
         return mv_cache[sec.index]
 
     def dense_builder(sec: Sector) -> np.ndarray:

@@ -103,7 +103,27 @@ def diagonalize(cfg: EDConfig, table: SectorTable,
                 # push padding levels far above the physical spectrum
                 pad = np.abs(h).sum() + 1.0
                 mats[bi, d:, d:] = np.eye(bsize - d) * pad if bsize > d else 0.0
-            evals, evecs = batched_eigh(jnp.asarray(mats))
+            hmats = jnp.asarray(mats)
+            ndev = len(jax.devices())
+            if ndev > 1 and len(chunk) > 1:
+                # sector-level data parallelism: shard the sector batch over
+                # every device (the 'sec' axis of SURVEY §2.4 — the
+                # reference diagonalizes sectors serially on the master,
+                # ED_DIAG_NORMAL.f90:225-250; here each chip eigh-solves its
+                # own slice of the padded bucket)
+                from jax.sharding import (Mesh, NamedSharding,
+                                          PartitionSpec as P)
+                nb = len(chunk)
+                nsh = min(ndev, nb)
+                pad_b = -(-nb // nsh) * nsh - nb
+                if pad_b:
+                    eye = jnp.eye(bsize, dtype=hmats.dtype)
+                    hmats = jnp.concatenate(
+                        [hmats, jnp.broadcast_to(eye, (pad_b, bsize, bsize))])
+                bmesh = Mesh(np.array(jax.devices()[:nsh]), ("b",))
+                hmats = jax.device_put(
+                    hmats, NamedSharding(bmesh, P("b", None, None)))
+            evals, evecs = batched_eigh(hmats)
             evals = np.asarray(evals)
             for bi, i in enumerate(chunk):
                 d = dims[bi]
@@ -124,6 +144,11 @@ def diagonalize(cfg: EDConfig, table: SectorTable,
         nev = min(max(neigen[i], 1), mv.dim - 1) or 1
         m = min(mv.dim, max(cfg.lanc_ncv_factor * nev + cfg.lanc_ncv_add,
                             4 * nev + 24, 48))
+        if cfg.lanc_method == "lanczos":
+            # plain-Lanczos semantics (reference sp_lanc_eigh, T=0): one
+            # long sweep sized by lanc_niter instead of the restarted
+            # ARPACK-style NCV blocks
+            m = min(mv.dim, max(m, min(cfg.lanc_niter, 512)))
         refine = getattr(mv, "exact", None)
         # mixed-precision matvec: residuals floor at the ~3e-7 matvec noise;
         # the exact f64 Rayleigh-Ritz refinement recovers the eigenvalues

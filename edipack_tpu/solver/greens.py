@@ -50,6 +50,19 @@ class GFMatrix:
             return np.zeros(len(z), complex)
         return (w[None, :] / (z[:, None] - p[None, :])).sum(axis=1)
 
+    def eval_tau(self, key: Tuple, tau: np.ndarray, beta: float
+                 ) -> np.ndarray:
+        """Fermionic imaginary-time evaluation on 0 <= tau <= beta:
+        G(tau) = -Σ_n w_n e^{-tau p_n} / (1 + e^{-beta p_n}), computed in
+        the overflow-stable logaddexp form."""
+        w, p = self.packed(key)
+        tau = np.atleast_1d(np.asarray(tau, float))
+        if len(w) == 0:
+            return np.zeros(len(tau))
+        ex = -np.logaddexp(tau[:, None] * p[None, :],
+                           (tau[:, None] - beta) * p[None, :])
+        return -(np.real(w)[None, :] * np.exp(ex)).sum(axis=1)
+
     # -- persistence (reference write/read_GFmatrix, ED_GFMATRIX.f90:78-107)
     def save(self, path: str) -> None:
         payload = {}

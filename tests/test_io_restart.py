@@ -79,3 +79,48 @@ def test_xmu_restart(tmp_path):
     xmu, nd = edio.read_xmu_restart(cfg)
     assert xmu == pytest.approx(0.37)
     assert nd == pytest.approx(0.05)
+
+
+def test_gf_text_outputs(tmp_path):
+    """ed_print_* text writers: impG/impG0/impSigma files in the reference
+    [w, Im, Re] format + G(tau) on the ltau grid + chi _iv files."""
+    import os
+    import edipack_tpu as ed
+    from edipack_tpu.config import default_config
+
+    cfg = default_config(norb=1, nbath=2, nspin=1, uloc=[2.0], beta=20.0,
+                         lmats=16, lreal=21, ltau=11, chispin_flag=True,
+                         ed_write_files=True, ed_output_dir=str(tmp_path))
+    bath = ed.ed_init_solver(cfg=cfg)
+    ed.ed_set_hloc(np.zeros((1, 1, 1, 1)))
+    ed.ed_solve(bath)
+    try:
+        for name in ("impG_l11_s1_iw", "impG_l11_s1_realw", "impG0_l11_s1_iw",
+                     "impSigma_l11_s1_iw", "impG_l11_s1_tau",
+                     "spinChi_l11_iv"):
+            path = tmp_path / (name + ".ed")
+            assert path.exists(), name
+            rows = np.loadtxt(path)
+            assert np.all(np.isfinite(rows))
+        g_iw = np.loadtxt(tmp_path / "impG_l11_s1_iw.ed")
+        assert g_iw.shape[0] == cfg.lmats and g_iw.shape[1] == 3
+        # G(tau=0+) + G(tau=beta-) = -<{c,c+}> = -1 (sum rule)
+        gt = np.loadtxt(tmp_path / "impG_l11_s1_tau.ed")
+        assert abs(gt[0, 1] + gt[-1, 1] + 1.0) < 1e-6
+    finally:
+        ed.ed_finalize_solver()
+
+
+def test_check_convergence_helper():
+    import edipack_tpu as ed
+    from edipack_tpu.config import default_config, set_config
+    set_config(default_config(dmft_error=1e-3, nsuccess=2))
+    ed.ed_reset_convergence()
+    f = np.ones(8)
+    err, conv = ed.ed_check_convergence(f)
+    assert not conv
+    err, conv = ed.ed_check_convergence(f * (1 + 1e-5))
+    assert err < 1e-3 and not conv      # first success
+    err, conv = ed.ed_check_convergence(f * (1 + 2e-5))
+    assert conv                          # nsuccess=2 reached
+    ed.ed_reset_convergence()
