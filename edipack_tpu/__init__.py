@@ -61,6 +61,8 @@ from .main import (
     ed_chi2_fitgf,
     ed_add_twobody_operator,
     ed_reset_umatrix,
+    ed_read_umatrix_file,
+    ed_save_umatrix_file,
     ed_search_variable,
     ed_update_input,
     ed_check_convergence,

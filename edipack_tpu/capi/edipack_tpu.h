@@ -109,6 +109,39 @@ int  edtpu_ineq_get_gf(const char *name, double *out, int nmax);
 int  edtpu_ineq_fit_gf(const double *funcs, int l, double *baths, int nineq,
                        int nb, int ispin);
 
+
+/* bath-manipulation helpers (reference ED_BATH_USER / c-bindings
+ * break_symmetry_bath_site etc.): operate on the packed bath in place ---- */
+int  edtpu_break_symmetry_bath(double *bath, int nb, double field,
+                               double sgn, int save);
+int  edtpu_spin_symmetrize_bath(double *bath, int nb, int save);
+int  edtpu_orb_symmetrize_bath(double *bath, int nb, int orb1, int orb2,
+                               int save);
+int  edtpu_orb_equality_bath(double *bath, int nb, int indx, int save);
+int  edtpu_ph_symmetrize_bath(double *bath, int nb, int save);
+int  edtpu_save_array_as_bath(const double *bath, int nb);
+
+/* umatrix file IO (reference read/save_umatrix_file) -------------------- */
+int  edtpu_read_umatrix_file(const char *path);
+int  edtpu_save_umatrix_file(const char *path);
+
+/* phonon couplings + observables (reference ed_set_g_ph/ed_get_phon) ---- */
+int  edtpu_set_g_ph(const double *g, int norb);
+int  edtpu_set_a_ph(double a);
+int  edtpu_get_phon(double *x, double *x2);     /* <X>, <X^2> */
+int  edtpu_get_ephon(double *eph, double *eeph);
+int  edtpu_get_imp_info(double *out2);          /* [s2tot, egs] */
+int  edtpu_get_neigen_sector(int *out, int *n, int nmax);
+
+/* DMFT-loop helpers (reference dmft_error/nsuccess knobs) --------------- */
+int  edtpu_check_convergence(const double *func, int n, double *err,
+                             int *converged);
+int  edtpu_reset_convergence(void);
+
+/* per-site file suffix for inequivalent impurities (ed_set_suffix) ------ */
+int  edtpu_set_suffix(int isite);
+int  edtpu_reset_suffix(void);
+
 const char *edtpu_last_error(void);
 
 #ifdef __cplusplus

@@ -627,3 +627,205 @@ int edtpu_chi2_fitgf(const double *func, int l, double *bath, int nb,
   Py_DECREF(rav);
   return n < 0 ? -1 : 0;
 }
+
+/* -- bath manipulation helpers (reference ED_BATH_USER) ----------------- */
+
+static int bath_op(const char *fn, PyObject *args, double *bath, int nb) {
+  PyObject *r = call(fn, args);
+  Py_DECREF(args);
+  if (!r) return -1;
+  PyObject *rav = PyObject_CallMethod(r, "ravel", NULL);
+  Py_DECREF(r);
+  if (!rav) { set_err_from_python(); return -1; }
+  int n = bath ? copy_array(rav, bath, nb) : 0;
+  Py_DECREF(rav);
+  return n < 0 ? -1 : 0;
+}
+
+int edtpu_break_symmetry_bath(double *bath, int nb, double field, double sgn,
+                              int save) {
+  if (edtpu_init()) return -1;
+  PyObject *bl = bath_to_pylist(bath, nb);
+  PyObject *args = Py_BuildValue("(Oddi)", bl, field, sgn, save);
+  Py_DECREF(bl);
+  return bath_op("ed_break_symmetry_bath", args, bath, nb);
+}
+
+int edtpu_spin_symmetrize_bath(double *bath, int nb, int save) {
+  if (edtpu_init()) return -1;
+  PyObject *bl = bath_to_pylist(bath, nb);
+  PyObject *args = Py_BuildValue("(Oi)", bl, save);
+  Py_DECREF(bl);
+  return bath_op("ed_spin_symmetrize_bath", args, bath, nb);
+}
+
+int edtpu_orb_symmetrize_bath(double *bath, int nb, int orb1, int orb2,
+                              int save) {
+  if (edtpu_init()) return -1;
+  PyObject *bl = bath_to_pylist(bath, nb);
+  PyObject *args;
+  if (orb1 > 0 && orb2 > 0)
+    args = Py_BuildValue("(Oiii)", bl, orb1, orb2, save);
+  else
+    args = Py_BuildValue("(O)", bl);
+  Py_DECREF(bl);
+  return bath_op("ed_orb_symmetrize_bath", args, bath, nb);
+}
+
+int edtpu_orb_equality_bath(double *bath, int nb, int indx, int save) {
+  if (edtpu_init()) return -1;
+  PyObject *bl = bath_to_pylist(bath, nb);
+  PyObject *args = Py_BuildValue("(Oii)", bl, indx, save);
+  Py_DECREF(bl);
+  return bath_op("ed_orb_equality_bath", args, bath, nb);
+}
+
+int edtpu_ph_symmetrize_bath(double *bath, int nb, int save) {
+  if (edtpu_init()) return -1;
+  PyObject *bl = bath_to_pylist(bath, nb);
+  PyObject *args = Py_BuildValue("(Oi)", bl, save);
+  Py_DECREF(bl);
+  return bath_op("ed_ph_symmetrize_bath", args, bath, nb);
+}
+
+int edtpu_save_array_as_bath(const double *bath, int nb) {
+  if (edtpu_init()) return -1;
+  PyObject *bl = bath_to_pylist((double *)bath, nb);
+  PyObject *args = Py_BuildValue("(O)", bl);
+  Py_DECREF(bl);
+  return bath_op("ed_save_array_as_bath", args, NULL, 0);
+}
+
+/* -- umatrix file IO ---------------------------------------------------- */
+
+int edtpu_read_umatrix_file(const char *path) {
+  if (edtpu_init()) return -1;
+  PyObject *r = PyObject_CallMethod(g_mod, "ed_read_umatrix_file", "s", path);
+  if (!r) { set_err_from_python(); return -1; }
+  Py_DECREF(r);
+  return 0;
+}
+
+int edtpu_save_umatrix_file(const char *path) {
+  if (edtpu_init()) return -1;
+  PyObject *r = PyObject_CallMethod(g_mod, "ed_save_umatrix_file", "s", path);
+  if (!r) { set_err_from_python(); return -1; }
+  Py_DECREF(r);
+  return 0;
+}
+
+/* -- phonon couplings + scalar observables ------------------------------ */
+
+int edtpu_set_g_ph(const double *g, int norb) {
+  if (edtpu_init()) return -1;
+  PyObject *lst = PyList_New((Py_ssize_t)norb * norb);
+  for (Py_ssize_t i = 0; i < (Py_ssize_t)norb * norb; ++i)
+    PyList_SET_ITEM(lst, i, PyFloat_FromDouble(g[i]));
+  PyObject *r = PyObject_CallMethod(g_mod, "ed_set_g_ph", "O", lst);
+  Py_DECREF(lst);
+  if (!r) { set_err_from_python(); return -1; }
+  Py_DECREF(r);
+  return 0;
+}
+
+int edtpu_set_a_ph(double a) {
+  if (edtpu_init()) return -1;
+  PyObject *r = PyObject_CallMethod(g_mod, "ed_set_a_ph", "d", a);
+  if (!r) { set_err_from_python(); return -1; }
+  Py_DECREF(r);
+  return 0;
+}
+
+int edtpu_get_phon(double *x, double *x2) {
+  if (edtpu_init()) return -1;
+  PyObject *r = PyObject_CallMethod(g_mod, "ed_get_phon", NULL);
+  if (!r) { set_err_from_python(); return -1; }
+  /* ed_get_phon returns (<b+b>, <X>, <X^2>); expose the displacement pair */
+  double buf[3] = {0, 0, 0};
+  PyObject *s = PySequence_Fast(r, "phon");
+  Py_DECREF(r);
+  if (!s) { set_err_from_python(); return -1; }
+  for (int i = 0; i < 3 && i < PySequence_Fast_GET_SIZE(s); ++i)
+    buf[i] = PyFloat_AsDouble(PySequence_Fast_GET_ITEM(s, i));
+  Py_DECREF(s);
+  *x = buf[1]; *x2 = buf[2];
+  return 0;
+}
+
+int edtpu_get_ephon(double *eph, double *eeph) {
+  if (edtpu_init()) return -1;
+  PyObject *r = PyObject_CallMethod(g_mod, "ed_get_ephon", NULL);
+  if (!r) { set_err_from_python(); return -1; }
+  double buf[2] = {0, 0};
+  PyObject *s = PySequence_Fast(r, "ephon");
+  Py_DECREF(r);
+  if (!s) { set_err_from_python(); return -1; }
+  for (int i = 0; i < 2 && i < PySequence_Fast_GET_SIZE(s); ++i)
+    buf[i] = PyFloat_AsDouble(PySequence_Fast_GET_ITEM(s, i));
+  Py_DECREF(s);
+  *eph = buf[0]; *eeph = buf[1];
+  return 0;
+}
+
+int edtpu_get_imp_info(double *out2) {
+  return getter_1d("ed_get_imp_info", out2, 2) < 0 ? -1 : 0;
+}
+
+int edtpu_get_neigen_sector(int *out, int *n, int nmax) {
+  if (edtpu_init()) return -1;
+  PyObject *r = PyObject_CallMethod(g_mod, "ed_get_neigen_sector", NULL);
+  if (!r) { set_err_from_python(); return -1; }
+  PyObject *s = PySequence_Fast(PyObject_CallMethod(r, "tolist", NULL), "nv");
+  Py_DECREF(r);
+  if (!s) { set_err_from_python(); return -1; }
+  Py_ssize_t m = PySequence_Fast_GET_SIZE(s);
+  if (m > nmax) m = nmax;
+  for (Py_ssize_t i = 0; i < m; ++i)
+    out[i] = (int)PyLong_AsLong(PySequence_Fast_GET_ITEM(s, i));
+  Py_DECREF(s);
+  *n = (int)m;
+  return 0;
+}
+
+/* -- DMFT-loop convergence helper --------------------------------------- */
+
+int edtpu_check_convergence(const double *func, int n, double *err,
+                            int *converged) {
+  if (edtpu_init()) return -1;
+  PyObject *lst = PyList_New(n);
+  for (Py_ssize_t i = 0; i < n; ++i)
+    PyList_SET_ITEM(lst, i, PyFloat_FromDouble(func[i]));
+  PyObject *r = PyObject_CallMethod(g_mod, "ed_check_convergence", "O", lst);
+  Py_DECREF(lst);
+  if (!r) { set_err_from_python(); return -1; }
+  *err = PyFloat_AsDouble(PyTuple_GetItem(r, 0));
+  *converged = PyObject_IsTrue(PyTuple_GetItem(r, 1));
+  Py_DECREF(r);
+  return 0;
+}
+
+int edtpu_reset_convergence(void) {
+  if (edtpu_init()) return -1;
+  PyObject *r = PyObject_CallMethod(g_mod, "ed_reset_convergence", NULL);
+  if (!r) { set_err_from_python(); return -1; }
+  Py_DECREF(r);
+  return 0;
+}
+
+/* -- per-site suffix ----------------------------------------------------- */
+
+int edtpu_set_suffix(int isite) {
+  if (edtpu_init()) return -1;
+  PyObject *r = PyObject_CallMethod(g_mod, "ed_set_suffix", "i", isite);
+  if (!r) { set_err_from_python(); return -1; }
+  Py_DECREF(r);
+  return 0;
+}
+
+int edtpu_reset_suffix(void) {
+  if (edtpu_init()) return -1;
+  PyObject *r = PyObject_CallMethod(g_mod, "ed_reset_suffix", NULL);
+  if (!r) { set_err_from_python(); return -1; }
+  Py_DECREF(r);
+  return 0;
+}

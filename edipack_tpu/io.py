@@ -182,6 +182,14 @@ def write_all_outputs(cfg: EDConfig, result) -> None:
     if result.gf is not None and getattr(result.gf, "channels", None):
         write_gf_text(cfg, result)
     write_eigenvalues(cfg, result.diag, result.table)
+    if cfg.ed_finite_temp and result.diag.sector_histogram is not None:
+        # per-sector retained-state histogram, appended per solve
+        # (reference histogram_states.ed, ED_DIAG_NORMAL.f90:444-460)
+        with open(_path(cfg, "histogram_states"), "a") as fh:
+            for isec, n in enumerate(result.diag.sector_histogram):
+                if n:
+                    fh.write(f"{isec + 1} {n}\n")
+            fh.write("\n")
     write_state_list_restart(cfg, result.diag, result.table)
     write_sectors_restart(cfg, result.diag, result.table)
     from .bath.dmft_bath import save_bath_file

@@ -96,6 +96,15 @@ class EDSolver:
             self.bath = array_to_bath(bath_array, self.cfg, self.basis)
         um = build_umatrix(self.cfg, runtime_terms=self.runtime_terms)
         neigen = self.neigen_sector_override
+        if neigen is None and self.result is not None:
+            # successive-solve annealing (reference ed_post_diag feedback:
+            # neigen_sector and lanc_nstates_total persist in the module
+            # globals between ed_solve calls, ED_DIAG_NORMAL.f90:475-517)
+            neigen = self.result.diag.neigen_sector
+            prev_total = self.result.diag.lanc_nstates_total
+            if self.cfg.ed_finite_temp and prev_total \
+                    and prev_total != self.cfg.lanc_nstates_total:
+                self.cfg = self.cfg.replace(lanc_nstates_total=prev_total)
         sector_mask = None
         from . import io as edio
         from .sectors import SectorTable
@@ -633,3 +642,19 @@ def ed_check_convergence(func, threshold: Optional[float] = None,
 def ed_reset_convergence() -> None:
     _conv_state["prev"] = None
     _conv_state["count"] = 0
+
+
+def ed_read_umatrix_file(path: str) -> None:
+    """Load a two-body operator list from a umatrix file into the runtime
+    terms (reference read_umatrix_file, ED_PARSE_UMATRIX.f90:363+)."""
+    from .umatrix import read_umatrix_file
+    s = _S()
+    s.runtime_terms = list(read_umatrix_file(path))
+
+
+def ed_save_umatrix_file(path: str) -> None:
+    """Save the active two-body operator list (reference save_umatrix_file)."""
+    from .umatrix import build_umatrix, save_umatrix_file
+    s = _S()
+    um = build_umatrix(s.cfg, runtime_terms=s.runtime_terms)
+    save_umatrix_file(um, path)

@@ -145,16 +145,17 @@ def _column_block_ds(fop, nmu, nmd, hi_prec, j,
                      upvh_ref, upvl_ref, dwvh_ref, dwvl_ref,
                      dah_ref, dbh_ref, dal_ref, dbl_ref,
                      nl_lo_vals,
-                     v3_ref, gup_ref, gdw_ref, main_ref, corr_ref):
+                     v3_ref, main_ref, corr_ref):
     """Double-single column block: ONE pass over the operands computes
 
         main = Hhi V        (hi_prec matmuls, f32 accumulate)
         corr = Hlo V        (1-pass bf16 matmuls — the term is ~6e-8 |HV|)
 
-    The caller merges in f64: H V = main + corr.  Gathers of V are shared
-    between the two products (same block pattern), so the HBM/VMEM traffic
-    is that of ONE matvec — this replaces the 3-kernel composition that ran
-    15x slower than the f32 kernel (BENCH_r02: 12.876 vs 0.882 ms)."""
+    The caller merges in f64: H V = main + corr.  VMEM discipline (the
+    per-core budget is 128M and a first cut ran out at 160M): no gather
+    scratch — every factor matmul is fed directly from ref slices — and the
+    lo tables are stored bf16 (their own relative precision only needs to
+    beat corr's share of the error budget, ~0.4% of a 6e-8 term)."""
     ddp = fop.ddp
     nbd = fop.ddp // BLK
     lo_prec = jax.lax.Precision.DEFAULT
@@ -172,37 +173,38 @@ def _column_block_ds(fop, nmu, nmd, hi_prec, j,
         dal_ref[:], dblj, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=lo_prec)
 
-    # ---- up factor: one gather feeds both hi and lo matmuls ------------
+    main_ref[:] = dcol * vj
+    corr_ref[:] = dcol_lo * vj
+
+    # ---- up factor: slice-fed per-source-block matmuls -----------------
     for s in range(nmu):
         k = upsrc_ref[j, s]
-        gup_ref[:, s * BLK:(s + 1) * BLK] = v3_ref[pl.ds(k * ddp, ddp), :]
-    upbh = upvh_ref[pl.ds(j * (nmu * BLK), nmu * BLK), :]
-    upbl = upvl_ref[pl.ds(j * (nmu * BLK), nmu * BLK), :]
-    main_ref[:] = dcol * vj + jnp.dot(
-        gup_ref[:], upbh, preferred_element_type=jnp.float32,
-        precision=hi_prec)
-    corr_ref[:] = dcol_lo * vj + jnp.dot(
-        gup_ref[:], upbl, preferred_element_type=jnp.float32,
-        precision=lo_prec)
+        vs = v3_ref[pl.ds(k * ddp, ddp), :]                  # (ddp, BLK)
+        ubh = upvh_ref[pl.ds((j * nmu + s) * BLK, BLK), :]
+        ubl = upvl_ref[pl.ds((j * nmu + s) * BLK, BLK), :].astype(jnp.float32)
+        main_ref[:] = main_ref[:] + jnp.dot(
+            vs, ubh, preferred_element_type=jnp.float32, precision=hi_prec)
+        corr_ref[:] = corr_ref[:] + jnp.dot(
+            vs, ubl, preferred_element_type=jnp.float32, precision=lo_prec)
 
     # ---- dw factor ------------------------------------------------------
     for r in range(nbd):
         for s in range(nmd):
             k = dwsrc_ref[r, s]
-            gdw_ref[s * BLK:(s + 1) * BLK, :] = \
-                v3_ref[pl.ds(j * ddp + k * BLK, BLK), :]
-        dwbh = dwvh_ref[pl.ds(r * (nmd * BLK), nmd * BLK), :]
-        dwbl = dwvl_ref[pl.ds(r * (nmd * BLK), nmd * BLK), :]
-        tm = jax.lax.dot_general(
-            dwbh, gdw_ref[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=hi_prec)
-        tc = jax.lax.dot_general(
-            dwbl, gdw_ref[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=lo_prec)
-        main_ref[r * BLK:(r + 1) * BLK, :] = \
-            main_ref[r * BLK:(r + 1) * BLK, :] + tm
-        corr_ref[r * BLK:(r + 1) * BLK, :] = \
-            corr_ref[r * BLK:(r + 1) * BLK, :] + tc
+            vks = v3_ref[pl.ds(j * ddp + k * BLK, BLK), :]   # (BLK, BLK)
+            dbh_s = dwvh_ref[pl.ds((r * nmd + s) * BLK, BLK), :]
+            dbl_s = dwvl_ref[pl.ds((r * nmd + s) * BLK, BLK), :] \
+                .astype(jnp.float32)
+            tm = jax.lax.dot_general(
+                dbh_s, vks, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hi_prec)
+            tc = jax.lax.dot_general(
+                dbl_s, vks, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=lo_prec)
+            main_ref[r * BLK:(r + 1) * BLK, :] = \
+                main_ref[r * BLK:(r + 1) * BLK, :] + tm
+            corr_ref[r * BLK:(r + 1) * BLK, :] = \
+                corr_ref[r * BLK:(r + 1) * BLK, :] + tc
 
     # ---- non-local rectangle shifts (hi -> main, lo -> corr) ------------
     if fop.nl_runs:
@@ -233,12 +235,12 @@ def _column_block_ds(fop, nmu, nmd, hi_prec, j,
 def _matvec_ds_kernel(fop, nmu, nmd, hi_prec, nl_lo_vals,
                       upsrc_ref, dwsrc_ref, upvh_ref, upvl_ref,
                       dwvh_ref, dwvl_ref, dah_ref, dbh_ref, dal_ref, dbl_ref,
-                      v3_ref, main_ref, corr_ref, gup_ref, gdw_ref):
+                      v3_ref, main_ref, corr_ref):
     j = pl.program_id(0)
     _column_block_ds(fop, nmu, nmd, hi_prec, j,
                      upsrc_ref, dwsrc_ref, upvh_ref, upvl_ref,
                      dwvh_ref, dwvl_ref, dah_ref, dbh_ref, dal_ref, dbl_ref,
-                     nl_lo_vals, v3_ref, gup_ref, gdw_ref, main_ref, corr_ref)
+                     nl_lo_vals, v3_ref, main_ref, corr_ref)
 
 
 def _power_kernel(fop, nmu, nmd, prec, niter,
@@ -342,8 +344,12 @@ class FusedMatvecDS:
     def __init__(self, fop: FusedNormalOp, hi_precision: str = "highest"):
         self.fop = fop
         self.pack = _OperandPack(fop)
-        self.pack_lo = _OperandPack(fop, up_vals=fop.up_vals_lo,
-                                    dw_vals=fop.dw_vals_lo)
+        pack_lo = _OperandPack(fop, up_vals=fop.up_vals_lo,
+                               dw_vals=fop.dw_vals_lo)
+        # lo tables live in bf16: halves their VMEM share, and their own
+        # rounding only perturbs the ~6e-8-relative correction term
+        upv_lo = pack_lo.upv.astype(jnp.bfloat16)
+        dwv_lo = pack_lo.dwv.astype(jnp.bfloat16)
         a64, b64 = fop.diag_a64, fop.diag_b64
         ahi = a64.astype(np.float32)
         alo = (a64 - ahi.astype(np.float64)).astype(np.float32)
@@ -355,8 +361,8 @@ class FusedMatvecDS:
         nl64 = fop.nl_vals64 if fop.nl_vals64 is not None else np.zeros(0)
         nl_lo = tuple(float(v - np.float32(v)) for v in nl64)
         self._ops = (self.pack.upsrc, self.pack.dwsrc,
-                     self.pack.upv, self.pack_lo.upv,
-                     self.pack.dwv, self.pack_lo.dwv,
+                     self.pack.upv, upv_lo,
+                     self.pack.dwv, dwv_lo,
                      self.pack.da, self.pack.db, dal, dbl)
         nbu = fop.dup // BLK
         prec = (jax.lax.Precision.HIGHEST if hi_precision == "highest"
@@ -367,9 +373,9 @@ class FusedMatvecDS:
             _full(self.pack.upsrc.shape, pltpu.SMEM),
             _full(self.pack.dwsrc.shape, pltpu.SMEM),
             _full(self.pack.upv.shape, pltpu.VMEM),
-            _full(self.pack_lo.upv.shape, pltpu.VMEM),
+            _full(upv_lo.shape, pltpu.VMEM),
             _full(self.pack.dwv.shape, pltpu.VMEM),
-            _full(self.pack_lo.dwv.shape, pltpu.VMEM),
+            _full(dwv_lo.shape, pltpu.VMEM),
             _full(self.pack.da.shape, pltpu.VMEM),
             _full(self.pack.db.shape, pltpu.VMEM),
             _full(dal.shape, pltpu.VMEM),
@@ -387,10 +393,6 @@ class FusedMatvecDS:
                 jax.ShapeDtypeStruct((nbu * fop.ddp, BLK), jnp.float32),
                 jax.ShapeDtypeStruct((nbu * fop.ddp, BLK), jnp.float32),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((fop.ddp, self.pack.nmu * BLK), jnp.float32),
-                pltpu.VMEM((self.pack.nmd * BLK, BLK), jnp.float32),
-            ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=127 * 1024 * 1024),
             interpret=_interpret(),
@@ -402,16 +404,18 @@ class FusedMatvecDS:
 
 def fused_ds_vmem_ok(fop: FusedNormalOp,
                      budget_bytes: int = 118 * 2**20) -> bool:
-    """VMEM feasibility of the DS kernel: one V3 plane + hi AND lo factor
-    tables + the two accumulator output blocks + scratch."""
+    """VMEM feasibility of the DS kernel: one V3 plane + f32 hi tables +
+    bf16 lo tables + double-buffered output accumulators (no gather
+    scratch — the kernel feeds matmuls from ref slices)."""
     nbu = fop.dup // BLK
     nbd = fop.ddp // BLK
     deg_u = int(np.diff(fop.up_ptr).max()) if nbu else 0
     deg_d = int(np.diff(fop.dw_ptr).max()) if nbd else 0
     v3 = nbu * fop.ddp * BLK * 4
-    tables = 2 * (nbu * max(deg_u, 1) + nbd * max(deg_d, 1)) * BLK * BLK * 4
-    scratch = fop.ddp * max(deg_u, 1) * BLK * 4 + 4 * fop.ddp * BLK * 4
-    return v3 + tables + scratch <= budget_bytes
+    blocks = (nbu * max(deg_u, 1) + nbd * max(deg_d, 1)) * BLK * BLK
+    tables = blocks * 4 + blocks * 2          # f32 hi + bf16 lo
+    outs = 4 * fop.ddp * BLK * 4              # 2 outputs, double-buffered
+    return v3 + tables + outs <= budget_bytes
 
 
 class FusedMatvec:

@@ -32,6 +32,11 @@ class DiagResult:
     neigen_sector: np.ndarray
     zeta: float
     e0: float
+    # finite-T annealing feedback (reference ed_post_diag
+    # ED_DIAG_NORMAL.f90:489-517): the adapted total-state budget the NEXT
+    # solve should request, and the per-sector retained-state histogram
+    lanc_nstates_total: int = 0
+    sector_histogram: Optional[np.ndarray] = None
 
 
 def _pad_pow2_bucket(dim: int) -> int:
@@ -138,7 +143,10 @@ def diagonalize(cfg: EDConfig, table: SectorTable,
                     sl.add(EigenState(float(ev[j]), i, vec))
 
     # ---- Lanczos path -------------------------------------------------
+    import time as _time
+    sector_times: List[Tuple] = []
     for i in lanc_secs:
+        _t0 = _time.perf_counter()
         sec = table.sector(i)
         mv = matvec_builder(sec)
         nev = min(max(neigen[i], 1), mv.dim - 1) or 1
@@ -163,6 +171,14 @@ def diagonalize(cfg: EDConfig, table: SectorTable,
         for j in range(len(vals)):
             vec = conv(vecs[j]) if conv is not None else vecs[j]
             sl.add(EigenState(float(vals[j]), i, vec))
+        sector_times.append((i, table.get_dim(i), len(vals),
+                             _time.perf_counter() - _t0))
+    if cfg.ed_verbose >= 3 and sector_times:
+        # per-sector timing table (reference SF_TIMER eta prints per sector,
+        # ED_DIAG_NORMAL.f90:101-154; here one summary table)
+        print("[edipack_tpu] per-sector Lanczos timings:")
+        for i, d, nv, dt in sorted(sector_times, key=lambda t: -t[3])[:20]:
+            print(f"  sector {i:4d} dim {d:>10d} nev {nv}  {dt:8.3f}s")
 
     if len(sl) == 0:
         raise RuntimeError("no eigenstates found (all sectors empty?)")
@@ -184,20 +200,44 @@ def diagonalize(cfg: EDConfig, table: SectorTable,
                 if st.sector in evals_by_sector:
                     evals_by_sector[j] = evals_by_sector[st.sector]
 
-    # ---- trim + adaptive feedback ------------------------------------
+    # ---- trim + adaptive feedback (reference ed_post_diag,
+    # ED_DIAG_NORMAL.f90:443-517) ---------------------------------------
     trimmed = sl.trim(cfg.ed_finite_temp, cfg.cutoff, cfg.gs_threshold,
                       cfg.lanc_nstates_total)
     counts = np.zeros(nsec, dtype=int)
     for st in trimmed:
         counts[st.sector] += 1
     new_neigen = neigen.copy()
-    for i in range(nsec):
-        if counts[i] >= neigen[i] and counts[i] > 0:
-            new_neigen[i] = min(neigen[i] + cfg.lanc_nstates_step,
-                                max(table.get_dim(i), 1))
-        elif counts[i] > 0:
-            new_neigen[i] = max(counts[i] + 1, 1)
+    new_total = cfg.lanc_nstates_total
+    if cfg.ed_finite_temp:
+        # per-sector annealing: sectors present in the retained list get one
+        # more requested state, absent ones one fewer; clamp to
+        # [1, count + 1] (:475-487)
+        for i in range(nsec):
+            new_neigen[i] = neigen[i] + 1 if counts[i] > 0 else neigen[i] - 1
+            new_neigen[i] = min(new_neigen[i], counts[i] + 1)
+            new_neigen[i] = max(new_neigen[i], 1)
+        # total-budget annealing (:489-517): if the Boltzmann weight of the
+        # highest retained state is still above cutoff, the spectrum window
+        # was too small -> grow the budget; otherwise settle it just above
+        # the trimmed size
+        sl.sort()
+        e0_all, emax = sl.e0, sl.states[-1].energy
+        if np.exp(-cfg.beta * (emax - e0_all)) > cfg.cutoff:
+            new_total = cfg.lanc_nstates_total + cfg.lanc_nstates_step
+        else:
+            new_total = max(len(trimmed), cfg.lanc_nstates_step) \
+                + cfg.lanc_nstates_step
+    else:
+        for i in range(nsec):
+            if counts[i] >= neigen[i] and counts[i] > 0:
+                new_neigen[i] = min(neigen[i] + cfg.lanc_nstates_step,
+                                    max(table.get_dim(i), 1))
+            elif counts[i] > 0:
+                new_neigen[i] = max(counts[i] + 1, 1)
 
     e0 = trimmed.e0
     return DiagResult(trimmed, evals_by_sector, new_neigen,
-                      trimmed.partition_function(), e0)
+                      trimmed.partition_function(), e0,
+                      lanc_nstates_total=new_total,
+                      sector_histogram=counts)

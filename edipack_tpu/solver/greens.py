@@ -48,7 +48,15 @@ class GFMatrix:
         z = np.atleast_1d(np.asarray(z, complex))
         if len(w) == 0:
             return np.zeros(len(z), complex)
-        return (w[None, :] / (z[:, None] - p[None, :])).sum(axis=1)
+        den = z[:, None] - p[None, :]
+        # exact z == pole hits (the nu=0 bosonic point against an elastic
+        # p=0 excitation): exclude the singular terms instead of emitting
+        # inf/nan into the whole grid
+        sing = den == 0
+        if np.any(sing):
+            den = np.where(sing, 1.0, den)
+            return (np.where(sing, 0.0, w[None, :]) / den).sum(axis=1)
+        return (w[None, :] / den).sum(axis=1)
 
     def eval_tau(self, key: Tuple, tau: np.ndarray, beta: float
                  ) -> np.ndarray:

@@ -19,5 +19,13 @@ import jax  # noqa: E402
 # overrides the JAX_PLATFORMS env var; the config update below wins, keeping
 # the test suite on the virtual 8-device CPU mesh
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/edipack_tpu_xla_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NOTE: the persistent XLA compilation cache is deliberately NOT enabled for
+# the CPU suite: this jax build segfaults both when loading cache entries
+# written on a different machine type (AOT machine-feature mismatch ->
+# SIGILL) and intermittently when serializing CPU executables
+# (compilation_cache.put_executable_and_time). Set
+# EDIPACK_TPU_XLA_CACHE=/path to opt in on a trusted single machine.
+_cache = os.environ.get("EDIPACK_TPU_XLA_CACHE")
+if _cache:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

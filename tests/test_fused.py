@@ -39,6 +39,7 @@ def test_fused_metadata_vs_dense():
     assert np.abs(out - ref).max() / np.abs(ref).max() < 2e-6
 
 
+@pytest.mark.slow
 def test_fused_kernel_matvec_and_power():
     cfg, op = _setup()                    # (5,5) of ns=10: 252^2, 2 blocks
     f = build_fused_normal(op, cfg.norb)
@@ -64,6 +65,7 @@ def test_fused_kernel_matvec_and_power():
     assert np.abs(w / np.linalg.norm(w) - vv).max() < 1e-5
 
 
+@pytest.mark.slow
 def test_mixed_fused_accuracy():
     cfg, op = _setup()
     f = build_fused_normal(op, cfg.norb)
@@ -82,6 +84,7 @@ def test_mixed_fused_accuracy():
     assert np.allclose(np.asarray(mv.from_internal_flat(vi)), np.asarray(vo))
 
 
+@pytest.mark.slow
 def test_solve_fused_vs_xla():
     """End-to-end solve parity: fused (forced, mixed-ds) vs plain f64 XLA."""
     from edipack_tpu.solver.core import solve_impurity

@@ -124,3 +124,32 @@ def test_check_convergence_helper():
     err, conv = ed.ed_check_convergence(f * (1 + 2e-5))
     assert conv                          # nsuccess=2 reached
     ed.ed_reset_convergence()
+
+
+def test_finite_t_annealing_across_solves():
+    """Successive ed_solve calls adapt neigen_sector / lanc_nstates_total
+    (reference ed_post_diag feedback, ED_DIAG_NORMAL.f90:475-517)."""
+    import edipack_tpu as ed
+    from edipack_tpu.config import default_config
+
+    cfg = default_config(norb=1, nbath=3, nspin=1, uloc=[1.5], beta=3.0,
+                         ed_finite_temp=True, lanc_nstates_total=4,
+                         lanc_nstates_sector=2, lanc_nstates_step=2,
+                         cutoff=1e-5, lmats=8)
+    bath = ed.ed_init_solver(cfg=cfg)
+    ed.ed_set_hloc(np.zeros((1, 1, 1, 1)))
+    try:
+        r1 = ed.ed_solve(bath, flag_gf=False)
+        n1 = len(r1.diag.state_list)
+        total1 = r1.diag.lanc_nstates_total
+        assert total1 != 0
+        assert r1.diag.sector_histogram is not None
+        assert r1.diag.sector_histogram.sum() == n1
+        # second solve must consume the annealed budget automatically
+        r2 = ed.ed_solve(bath, flag_gf=False)
+        assert r2.cfg.lanc_nstates_total == total1
+        # at beta=3 with a small cutoff the budget grows until the Boltzmann
+        # tail is below cutoff; retained count must not shrink
+        assert len(r2.diag.state_list) >= n1
+    finally:
+        ed.ed_finalize_solver()

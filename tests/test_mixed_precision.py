@@ -3,6 +3,7 @@ refinement: TPU f64 matmuls are emulated and ~70x slower than f32, so large
 -sector Lanczos runs on a split-f32 MXU matvec (MixedKronMatvec) and the
 converged subspace is re-diagonalized with exact f64 matvecs."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from edipack_tpu.config import default_config
@@ -24,6 +25,7 @@ def _problem(**over):
     return cfg, hloc, um, bath
 
 
+@pytest.mark.slow
 def test_mixed_matvec_accuracy():
     cfg, hloc, um, bath = _problem()
     table = SectorTable(cfg)
@@ -42,6 +44,7 @@ def test_mixed_matvec_accuracy():
     assert w_mix.dtype == np.float64
 
 
+@pytest.mark.slow
 def test_mixed_solve_matches_exact():
     """Full solve with ed_mixed_matvec='always' (forces the split path even
     on CPU and for every Lanczos sector) must reproduce the exact-f64 solve

@@ -362,3 +362,52 @@ def test_golden_nonsu2(case):
                                        err_msg="Sigma_momenta.check")
     finally:
         ed.ed_finalize_solver()
+
+
+# ---------------------------------------------------------------------------
+# INEQ (R-DMFT) combo: 2-site AFM (ed_normal_normal_afm2.f90)
+# ---------------------------------------------------------------------------
+
+
+def test_golden_ineq_normal_normal():
+    """Two inequivalent sites with a staggered symmetry-breaking field:
+    per-site dens/docc/energies/doubles and Sigma momenta against the
+    INEQ_NORMAL_NORMAL goldens."""
+    from edipack_tpu.bath.user import ed_break_symmetry_bath
+    from edipack_tpu.bath.dmft_bath import init_bath, bath_to_array
+    from edipack_tpu.ineq import EDIneqSolver
+
+    d, cfg = load_case("INEQ_NORMAL_NORMAL")
+    nlat = 2
+    # Hloc = lso2nnn(kron(sigma_z, tau_0)): site 1 -> +1, site 2 -> -1
+    hloc = np.zeros((nlat, cfg.nspin, cfg.nspin, cfg.norb, cfg.norb))
+    for s in range(cfg.nspin):
+        hloc[0, s, s, 0, 0] = 1.0
+        hloc[1, s, s, 0, 0] = -1.0
+    b0 = bath_to_array(init_bath(cfg))
+    baths = np.stack([
+        np.asarray(ed_break_symmetry_bath(b0.copy(), cfg.sb_field,
+                                          sign=(-1.0) ** (ip + 2), save=False,
+                                          cfg=cfg))
+        for ip in range(nlat)])
+    solver = EDIneqSolver(nlat, cfg)
+    solver.init_solver(baths)
+    solver.set_hloc(hloc)
+    solver.solve(baths)
+
+    dens = np.asarray(solver.get_dens())          # (Nlat, Norb)
+    docc = np.asarray(solver.get_docc())
+    eimp = np.asarray(solver.get_eimp())[:, [0, 1, 3, 2]]
+    dbls = np.asarray(solver.get_doubles())
+    for fname, got in (("dens.check", dens), ("docc.check", docc),
+                       ("energy.check", eimp), ("doubles.check", dbls)):
+        want, _ = read_check(os.path.join(d, fname))
+        np.testing.assert_allclose(got.ravel(), want, atol=2e-8, rtol=0,
+                                   err_msg=fname)
+    w = wgrid(cfg)
+    smats = np.asarray(solver.get_sigma(1j * w))  # (Nlat,Ns,Ns,No,No,L)
+    want, _ = read_check(os.path.join(d, "Sigma_momenta.check"))
+    got = np.array([momentum(w, smats[il, 0, 0, 0, 0], n)
+                    for il in range(nlat) for n in (1, 2, 3, 4)])
+    np.testing.assert_allclose(got, want, rtol=1e-8,
+                               err_msg="Sigma_momenta.check")
