@@ -54,8 +54,13 @@ class EDIneqSolver:
               jp_ii: Optional[np.ndarray] = None,
               flag_gf: bool = True) -> List:
         """Solve every site; `*_ii` arrays override the input-file Kanamori
-        couplings per site (reference E2I_MAIN.f90:261-265)."""
-        results = []
+        couplings per site (reference E2I_MAIN.f90:261-265).
+
+        Normal mode runs all sites as ONE batched sweep
+        (solve_impurity_sites): every site's small sectors join the same
+        padded eigh buckets, data-parallel over the device mesh — the
+        TPU-native form of the reference's site-over-ranks round robin.
+        Joint modes (superc/nonsu2) fall back to the per-site loop."""
         for n, s in enumerate(self.solvers):
             over = {}
             if uloc_ii is not None:
@@ -70,8 +75,40 @@ class EDIneqSolver:
                 over["jp"] = float(np.atleast_1d(jp_ii)[n])
             if over:
                 s.cfg = s.cfg.replace(**over)
+
+        if self.cfg.ed_mode == "normal":
+            return self._solve_batched(baths, flag_gf)
+        results = []
+        for n, s in enumerate(self.solvers):
             results.append(s.solve(None if baths is None else baths[n],
                                    flag_gf=flag_gf))
+        return results
+
+    def _solve_batched(self, baths, flag_gf: bool) -> List:
+        from .bath.dmft_bath import array_to_bath
+        from .solver.core import solve_impurity_sites
+        from .umatrix import build_umatrix
+        from . import io as edio
+        cfgs, hlocs, ums, site_baths, neigens = [], [], [], [], []
+        for n, s in enumerate(self.solvers):
+            if baths is not None:
+                s.bath = array_to_bath(baths[n], s.cfg, s.basis)
+            cfgs.append(s.cfg)
+            hlocs.append(s.hloc)
+            ums.append(build_umatrix(s.cfg, runtime_terms=s.runtime_terms))
+            site_baths.append(s.bath)
+            neigens.append(s.result.diag.neigen_sector
+                           if s.result is not None
+                           and s.neigen_sector_override is None
+                           else s.neigen_sector_override)
+        results = solve_impurity_sites(self.cfg, hlocs, ums, site_baths,
+                                       cfgs=cfgs,
+                                       neigen_overrides=neigens,
+                                       flag_gf=flag_gf)
+        for n, s in enumerate(self.solvers):
+            s.result = results[n]
+            if s.cfg.ed_write_files:
+                edio.write_all_outputs(s.cfg, s.result)
         return results
 
     def finalize(self) -> None:

@@ -5,7 +5,7 @@ object for the `ed_get_*` getters (reference ED_IO)."""
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -18,7 +18,7 @@ from ..models.normal import NormalSectorOp, build_normal_sector_op
 from ..ops.matvec import KronMatvec
 from ..sectors import Sector, SectorTable
 from ..umatrix import Umatrix
-from .diag import DiagResult, diagonalize
+from .diag import DiagResult, diagonalize, diagonalize_sites
 from .eigenspace import StateList
 from .greens import GFMatrix, build_gf_normal, eval_gf_normal, sigma_normal
 from .observables import Observables, compute_observables_normal
@@ -182,24 +182,13 @@ class SolveResult:
 # ---------------------------------------------------------------------------
 
 
-def solve_impurity(cfg: EDConfig, hloc: np.ndarray, um: Umatrix,
-                   bath: DmftBath,
-                   neigen_override: Optional[np.ndarray] = None,
-                   sector_mask: Optional[np.ndarray] = None,
-                   hloc_anomalous: Optional[np.ndarray] = None,
-                   flag_gf: bool = True) -> SolveResult:
-    cfg.validate()
-    if cfg.ed_mode != "normal":
-        from .core_joint import solve_impurity_joint
-        return solve_impurity_joint(cfg, hloc, um, bath,
-                                    neigen_override=neigen_override,
-                                    sector_mask=sector_mask,
-                                    hloc_anomalous=hloc_anomalous,
-                                    flag_gf=flag_gf)
+def _normal_builders(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
+                     um: Umatrix, bath: DmftBath):
+    """Per-impurity operator/matvec builder set for the normal-mode solver.
 
-    from ..utils.timing import PhaseTimer
-    timer = PhaseTimer(verbose=cfg.ed_verbose)
-    table = SectorTable(cfg)
+    Extracted from solve_impurity so multi-site solves
+    (solve_impurity_sites) can hold one builder set per site and feed them
+    into a single cross-site diagonalization sweep."""
     dtype = jnp.float64 if cfg.ed_precision == "float64" else jnp.float32
 
     op_cache: Dict[int, NormalSectorOp] = {}
@@ -310,8 +299,113 @@ def solve_impurity(cfg: EDConfig, hloc: np.ndarray, um: Umatrix,
                 return mv.exact
         return mv
 
+    from types import SimpleNamespace
+    return SimpleNamespace(matvec_builder=matvec_builder,
+                           dense_builder=dense_builder,
+                           dense_eig_cache=dense_eig_cache,
+                           gf_matvec_builder=gf_matvec_builder,
+                           op_cache=op_cache)
+
+
+def _finish_normal_site(cfg: EDConfig, table: SectorTable, b, diag,
+                        hloc: np.ndarray, um: Umatrix, bath: DmftBath,
+                        flag_gf: bool, timer) -> "SolveResult":
+    """GF + observables + chi + RDM for one site given its DiagResult."""
+    gf = GFMatrix()
+    if flag_gf:
+        with timer.phase("greens_functions"):
+            gf = build_gf_normal(cfg, table, diag.state_list,
+                                 b.gf_matvec_builder, b.dense_eig_cache,
+                                 all_g=cfg.ed_all_g)
+
+    with timer.phase("observables"):
+        obs = compute_observables_normal(cfg, table, diag.state_list, hloc,
+                                         um, b.op_cache)
+
+    chi = None
+    if flag_gf and (cfg.chispin_flag or cfg.chidens_flag or cfg.chipair_flag
+                    or cfg.chiexct_flag):
+        from .chi import build_chi_normal
+        chi = build_chi_normal(cfg, table, diag.state_list,
+                               b.gf_matvec_builder, b.dense_eig_cache)
+
+    rdm = None
+    if cfg.rdm_flag:
+        from .rdm import impurity_rdm_normal
+        rdm = impurity_rdm_normal(cfg, table, diag.state_list)
+
+    res = SolveResult(cfg=cfg, table=table, diag=diag, gf=gf, obs=obs,
+                      bath=bath.copy(), hloc=np.asarray(hloc), um=um,
+                      chi=chi, rdm=rdm)
+    res.timings = dict(timer.timings)
+    return res
+
+
+def solve_impurity_sites(cfg: EDConfig, hlocs, ums, baths,
+                         cfgs=None, neigen_overrides=None,
+                         sector_masks=None,
+                         flag_gf: bool = True) -> List["SolveResult"]:
+    """Solve Nineq normal-mode impurity problems as ONE batched sweep.
+
+    TPU-native site parallelism (SURVEY §2.4 strategy 8): the reference
+    round-robins inequivalent sites over MPI ranks (E2I_MAIN.f90:253-296);
+    here all sites share one SectorTable and their dense sectors enter the
+    same padded eigh buckets, data-parallel over the device mesh.  Per-site
+    interaction/Hloc/bath differences live in the builders; cfgs[i] may
+    override interaction values but must keep the sector structure
+    (norb/nbath/nspin/nph/ed_total_ud/bath_type) identical.
+    """
+    nsites = len(hlocs)
+    if cfgs is None:
+        cfgs = [cfg] * nsites
+    for c in cfgs:
+        c.validate()
+        if (c.norb, c.nbath, c.nspin, c.nph, c.ed_total_ud, c.bath_type,
+                c.ed_mode) != (cfg.norb, cfg.nbath, cfg.nspin, cfg.nph,
+                               cfg.ed_total_ud, cfg.bath_type, cfg.ed_mode):
+            raise ValueError("solve_impurity_sites: sites must share the "
+                             "sector structure")
+    from ..utils.timing import PhaseTimer
+    table = SectorTable(cfg)
+    builders = [_normal_builders(cfgs[s], table, hlocs[s], ums[s], baths[s])
+                for s in range(nsites)]
+    timer = PhaseTimer(verbose=cfg.ed_verbose)
     with timer.phase("diagonalization"):
-        diag = diagonalize(cfg, table, matvec_builder, dense_builder,
+        diags = diagonalize_sites(
+            cfg, table, [b.matvec_builder for b in builders],
+            [b.dense_builder for b in builders],
+            neigen_overrides=neigen_overrides, sector_masks=sector_masks)
+    out = []
+    for s in range(nsites):
+        site_timer = PhaseTimer(verbose=0)
+        out.append(_finish_normal_site(cfgs[s], table, builders[s], diags[s],
+                                       hlocs[s], ums[s], baths[s], flag_gf,
+                                       site_timer))
+    return out
+
+
+def solve_impurity(cfg: EDConfig, hloc: np.ndarray, um: Umatrix,
+                   bath: DmftBath,
+                   neigen_override: Optional[np.ndarray] = None,
+                   sector_mask: Optional[np.ndarray] = None,
+                   hloc_anomalous: Optional[np.ndarray] = None,
+                   flag_gf: bool = True) -> SolveResult:
+    cfg.validate()
+    if cfg.ed_mode != "normal":
+        from .core_joint import solve_impurity_joint
+        return solve_impurity_joint(cfg, hloc, um, bath,
+                                    neigen_override=neigen_override,
+                                    sector_mask=sector_mask,
+                                    hloc_anomalous=hloc_anomalous,
+                                    flag_gf=flag_gf)
+
+    from ..utils.timing import PhaseTimer
+    timer = PhaseTimer(verbose=cfg.ed_verbose)
+    table = SectorTable(cfg)
+    b = _normal_builders(cfg, table, hloc, um, bath)
+
+    with timer.phase("diagonalization"):
+        diag = diagonalize(cfg, table, b.matvec_builder, b.dense_builder,
                            neigen_override=neigen_override,
                            sector_mask=sector_mask)
 
@@ -319,19 +413,19 @@ def solve_impurity(cfg: EDConfig, hloc: np.ndarray, um: Umatrix,
     if flag_gf:
         with timer.phase("greens_functions"):
             gf = build_gf_normal(cfg, table, diag.state_list,
-                                 gf_matvec_builder, dense_eig_cache,
+                                 b.gf_matvec_builder, b.dense_eig_cache,
                                  all_g=cfg.ed_all_g)
 
     with timer.phase("observables"):
         obs = compute_observables_normal(cfg, table, diag.state_list, hloc,
-                                         um, op_cache)
+                                         um, b.op_cache)
 
     chi = None
     if flag_gf and (cfg.chispin_flag or cfg.chidens_flag or cfg.chipair_flag
                     or cfg.chiexct_flag):
         from .chi import build_chi_normal
         chi = build_chi_normal(cfg, table, diag.state_list,
-                               gf_matvec_builder, dense_eig_cache)
+                               b.gf_matvec_builder, b.dense_eig_cache)
 
     rdm = None
     if cfg.rdm_flag:

@@ -8,12 +8,16 @@ solver choice :119-252, post-diag trimming and adaptive neigen feedback
   shape buckets and diagonalized with one batched `jnp.linalg.eigh` per
   bucket (the reference LAPACK path is one sector at a time on the master
   rank);
-* large sectors run restarted deflated Lanczos with the jitted MXU matvec.
+* large sectors run restarted deflated Lanczos with the jitted MXU matvec;
+* multiple impurity *sites* (real-space DMFT, reference E2I_MAIN.f90:253-296
+  round-robins sites over MPI ranks) batch into the same buckets: the
+  (site, sector) product is one data-parallel eigh sharded over the device
+  mesh (`diagonalize_sites`).
 """
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,58 +51,75 @@ def _pad_pow2_bucket(dim: int) -> int:
     return b
 
 
-def diagonalize(cfg: EDConfig, table: SectorTable,
-                matvec_builder: Callable[[Sector], object],
-                dense_builder: Callable[[Sector], np.ndarray],
-                neigen_override: Optional[np.ndarray] = None,
-                sector_mask: Optional[np.ndarray] = None) -> DiagResult:
-    """Sweep all sectors, find low eigenpairs, build the trimmed state list.
+def diagonalize_sites(cfg: EDConfig, table: SectorTable,
+                      matvec_builders: Sequence[Callable[[Sector], object]],
+                      dense_builders: Sequence[Callable[[Sector], np.ndarray]],
+                      neigen_overrides: Optional[Sequence] = None,
+                      sector_masks: Optional[Sequence] = None
+                      ) -> List[DiagResult]:
+    """Sweep all (site, sector) pairs; one DiagResult per site.
 
-    ``matvec_builder(sec)``: device matvec callable with .dim/.dtype
-    ``dense_builder(sec)``: dense sector H (used when dim <= lanc_dim_threshold)
+    All sites share the sector structure (``table``) and the solver knobs in
+    ``cfg``; per-site physics (Hloc, bath, U) lives in the builders.  Small
+    sectors from EVERY site are padded into shared shape buckets and solved
+    by one batched eigh per bucket, sharded over the device mesh — the
+    TPU-native form of the reference's site-over-ranks round robin
+    (E2I_MAIN.f90:253-296) fused with its sector loop
+    (ED_DIAG_NORMAL.f90:225-250).
+
+    ``matvec_builders[s](sec)``: device matvec callable with .dim/.dtype
+    ``dense_builders[s](sec)``: dense sector H (dim <= lanc_dim_threshold)
     """
+    nsites = len(dense_builders)
     nsec = len(table)
-    neigen = np.full(nsec, cfg.lanc_nstates_sector, dtype=int)
-    if neigen_override is not None:
-        neigen[:] = np.asarray(neigen_override, int)
-    twin_mask = table.twin_mask()
-    if sector_mask is not None:
-        twin_mask = twin_mask & np.asarray(sector_mask, bool)
+    neigen = np.full((nsites, nsec), cfg.lanc_nstates_sector, dtype=int)
+    if neigen_overrides is not None:
+        for s, ov in enumerate(neigen_overrides):
+            if ov is not None:
+                neigen[s, :] = np.asarray(ov, int)
+    base_twin = table.twin_mask()
+    twin_masks = []
+    for s in range(nsites):
+        m = base_twin.copy()
+        if sector_masks is not None and sector_masks[s] is not None:
+            m = m & np.asarray(sector_masks[s], bool)
+        twin_masks.append(m)
 
-    sl = StateList(beta=cfg.beta)
-    evals_by_sector: Dict[int, np.ndarray] = {}
+    sls = [StateList(beta=cfg.beta) for _ in range(nsites)]
+    evals_by_sector: List[Dict[int, np.ndarray]] = [{} for _ in range(nsites)]
 
-    # ---- partition sectors by path -----------------------------------
-    dense_secs: List[int] = []
-    lanc_secs: List[int] = []
-    for i in range(nsec):
-        if not twin_mask[i]:
-            continue
-        dim = table.get_dim(i)
-        if dim == 0:
-            continue
-        if dim <= cfg.lanc_dim_threshold:
-            dense_secs.append(i)
-        else:
-            lanc_secs.append(i)
+    # ---- partition (site, sector) pairs by path ----------------------
+    dense_items: List[Tuple[int, int]] = []
+    lanc_items: List[Tuple[int, int]] = []
+    for s in range(nsites):
+        for i in range(nsec):
+            if not twin_masks[s][i]:
+                continue
+            dim = table.get_dim(i)
+            if dim == 0:
+                continue
+            if dim <= cfg.lanc_dim_threshold:
+                dense_items.append((s, i))
+            else:
+                lanc_items.append((s, i))
 
     # ---- batched dense path ------------------------------------------
-    buckets: Dict[int, List[int]] = {}
-    for i in dense_secs:
+    buckets: Dict[int, List[Tuple[int, int]]] = {}
+    for s, i in dense_items:
         b = _pad_pow2_bucket(table.get_dim(i))
-        buckets.setdefault(b, []).append(i)
-    for bsize, secs in sorted(buckets.items()):
+        buckets.setdefault(b, []).append((s, i))
+    for bsize, items in sorted(buckets.items()):
         # chunk very large batches to bound memory AND the host->device
         # transfer size (~64MB/chunk at c128; large single device_puts are
         # punishing on slow transports)
         max_batch = max(1, (1 << 22) // (bsize * bsize))
-        for lo in range(0, len(secs), max_batch):
-            chunk = secs[lo:lo + max_batch]
+        for lo in range(0, len(items), max_batch):
+            chunk = items[lo:lo + max_batch]
             mats = np.zeros((len(chunk), bsize, bsize))
             dims = []
             cplx = False
-            for bi, i in enumerate(chunk):
-                h = dense_builder(table.sector(i))
+            for bi, (s, i) in enumerate(chunk):
+                h = dense_builders[s](table.sector(i))
                 d = h.shape[0]
                 dims.append(d)
                 if np.iscomplexobj(h):
@@ -111,7 +132,7 @@ def diagonalize(cfg: EDConfig, table: SectorTable,
             hmats = jnp.asarray(mats)
             ndev = len(jax.devices())
             if ndev > 1 and len(chunk) > 1:
-                # sector-level data parallelism: shard the sector batch over
+                # (site, sector)-level data parallelism: shard the batch over
                 # every device (the 'sec' axis of SURVEY §2.4 — the
                 # reference diagonalizes sectors serially on the master,
                 # ED_DIAG_NORMAL.f90:225-250; here each chip eigh-solves its
@@ -130,26 +151,26 @@ def diagonalize(cfg: EDConfig, table: SectorTable,
                     hmats, NamedSharding(bmesh, P("b", None, None)))
             evals, evecs = batched_eigh(hmats)
             evals = np.asarray(evals)
-            for bi, i in enumerate(chunk):
+            for bi, (s, i) in enumerate(chunk):
                 d = dims[bi]
                 ev = evals[bi, :d]
-                evals_by_sector[i] = ev
+                evals_by_sector[s][i] = ev
                 # keep at least the sector's full near-degenerate ground
                 # multiplet so the T=0 trim can't miss degeneracies
                 n_deg = int(np.sum(ev - ev[0] <= cfg.gs_threshold))
-                keep = min(d, max(neigen[i], n_deg, 1))
+                keep = min(d, max(neigen[s, i], n_deg, 1))
                 for j in range(keep):
                     vec = evecs[bi, :d, j]
-                    sl.add(EigenState(float(ev[j]), i, vec))
+                    sls[s].add(EigenState(float(ev[j]), i, vec))
 
     # ---- Lanczos path -------------------------------------------------
     import time as _time
     sector_times: List[Tuple] = []
-    for i in lanc_secs:
+    for s, i in lanc_items:
         _t0 = _time.perf_counter()
         sec = table.sector(i)
-        mv = matvec_builder(sec)
-        nev = min(max(neigen[i], 1), mv.dim - 1) or 1
+        mv = matvec_builders[s](sec)
+        nev = min(max(neigen[s, i], 1), mv.dim - 1) or 1
         m = min(mv.dim, max(cfg.lanc_ncv_factor * nev + cfg.lanc_ncv_add,
                             4 * nev + 24, 48))
         if cfg.lanc_method == "lanczos":
@@ -166,11 +187,11 @@ def diagonalize(cfg: EDConfig, table: SectorTable,
                                   tol=tol,
                                   max_restarts=max(4, cfg.lanc_niter // m),
                                   refine_matvec=refine)
-        evals_by_sector[i] = vals
+        evals_by_sector[s][i] = vals
         conv = getattr(mv, "from_internal_flat", None)
         for j in range(len(vals)):
             vec = conv(vecs[j]) if conv is not None else vecs[j]
-            sl.add(EigenState(float(vals[j]), i, vec))
+            sls[s].add(EigenState(float(vals[j]), i, vec))
         sector_times.append((i, table.get_dim(i), len(vals),
                              _time.perf_counter() - _t0))
     if cfg.ed_verbose >= 3 and sector_times:
@@ -180,6 +201,17 @@ def diagonalize(cfg: EDConfig, table: SectorTable,
         for i, d, nv, dt in sorted(sector_times, key=lambda t: -t[3])[:20]:
             print(f"  sector {i:4d} dim {d:>10d} nev {nv}  {dt:8.3f}s")
 
+    # ---- per-site tail: twins, trim, adaptive feedback ----------------
+    out: List[DiagResult] = []
+    for s in range(nsites):
+        out.append(_finish_site(cfg, table, sls[s], evals_by_sector[s],
+                                neigen[s], twin_masks[s], nsec))
+    return out
+
+
+def _finish_site(cfg: EDConfig, table: SectorTable, sl: StateList,
+                 evals_by_sector: Dict[int, np.ndarray], neigen: np.ndarray,
+                 twin_mask: np.ndarray, nsec: int) -> DiagResult:
     if len(sl) == 0:
         raise RuntimeError("no eigenstates found (all sectors empty?)")
 
@@ -241,3 +273,18 @@ def diagonalize(cfg: EDConfig, table: SectorTable,
                       trimmed.partition_function(), e0,
                       lanc_nstates_total=new_total,
                       sector_histogram=counts)
+
+
+def diagonalize(cfg: EDConfig, table: SectorTable,
+                matvec_builder: Callable[[Sector], object],
+                dense_builder: Callable[[Sector], np.ndarray],
+                neigen_override: Optional[np.ndarray] = None,
+                sector_mask: Optional[np.ndarray] = None) -> DiagResult:
+    """Single-site sweep: the one-site specialization of diagonalize_sites.
+
+    ``matvec_builder(sec)``: device matvec callable with .dim/.dtype
+    ``dense_builder(sec)``: dense sector H (used when dim <= lanc_dim_threshold)
+    """
+    return diagonalize_sites(cfg, table, [matvec_builder], [dense_builder],
+                             neigen_overrides=[neigen_override],
+                             sector_masks=[sector_mask])[0]
