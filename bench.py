@@ -295,8 +295,11 @@ def bench_xla(op, platform):
         w = mv.apply3(v)
         return w / jnp.linalg.norm(w), None
     f = jax.jit(lambda v: jax.lax.scan(step, v, None, length=n)[0])
-    key = jax.random.PRNGKey(0)
-    v = jax.random.normal(key, mv.shape3, jnp.float32)
+    # inputs built host-side: the tunneled TPU rejects eager dispatch
+    # (jax.random.* would issue an eager convert_element_type)
+    rng = np.random.default_rng(0)
+    v = jax.device_put(jnp.asarray(
+        rng.normal(size=mv.shape3).astype(np.float32)))
     w = f(v)
     _ = float(jnp.vdot(w, w))
     t0 = time.time()

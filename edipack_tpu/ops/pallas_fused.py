@@ -163,14 +163,16 @@ def _column_block_ds(fop, nmu, nmd, hi_prec, j,
     vj = v3_ref[pl.ds(j * ddp, ddp), :]                      # (ddp, BLK)
 
     # ---- diagonal (low-rank, hi & lo stacks) ---------------------------
-    dbj = dbh_ref[pl.ds(j * BLK, BLK), :]
+    # dbh/dbl arrive as per-j windows (BLK, R) — see the windowed BlockSpecs
+    # in FusedMatvecDS: only block-row j of the up tables and diag-b stacks
+    # is ever read, so windowing them saves ~28M VMEM on reference-scale
+    # sectors (the full-window variant exceeded the 128M budget by 9.25M).
     dcol = jax.lax.dot_general(
-        dah_ref[:], dbj, (((1,), (1,)), ((), ())),
+        dah_ref[:], dbh_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
-    dblj = dbl_ref[pl.ds(j * BLK, BLK), :]
     dcol_lo = jax.lax.dot_general(
-        dal_ref[:], dblj, (((1,), (1,)), ((), ())),
+        dal_ref[:], dbl_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=lo_prec)
 
     main_ref[:] = dcol * vj
@@ -180,8 +182,8 @@ def _column_block_ds(fop, nmu, nmd, hi_prec, j,
     for s in range(nmu):
         k = upsrc_ref[j, s]
         vs = v3_ref[pl.ds(k * ddp, ddp), :]                  # (ddp, BLK)
-        ubh = upvh_ref[pl.ds((j * nmu + s) * BLK, BLK), :]
-        ubl = upvl_ref[pl.ds((j * nmu + s) * BLK, BLK), :].astype(jnp.float32)
+        ubh = upvh_ref[pl.ds(s * BLK, BLK), :]
+        ubl = upvl_ref[pl.ds(s * BLK, BLK), :].astype(jnp.float32)
         main_ref[:] = main_ref[:] + jnp.dot(
             vs, ubh, preferred_element_type=jnp.float32, precision=hi_prec)
         corr_ref[:] = corr_ref[:] + jnp.dot(
@@ -369,17 +371,24 @@ class FusedMatvecDS:
                 else jax.lax.Precision.HIGH)
         kern = functools.partial(_matvec_ds_kernel, fop, self.pack.nmu,
                                  self.pack.nmd, prec, nl_lo)
+        # up tables and diag-b stacks are read only at block-row j: window
+        # them per grid step ((nmu*BLK, BLK) / (BLK, R) windows instead of
+        # full residency) — the dw tables are indexed by the inner r loop
+        # and stay fully resident.
+        nmu = self.pack.nmu
+        wrow = lambda shape: pl.BlockSpec(
+            shape, lambda j: (j, j - j), memory_space=pltpu.VMEM)
         specs = [
             _full(self.pack.upsrc.shape, pltpu.SMEM),
             _full(self.pack.dwsrc.shape, pltpu.SMEM),
-            _full(self.pack.upv.shape, pltpu.VMEM),
-            _full(upv_lo.shape, pltpu.VMEM),
+            wrow((nmu * BLK, BLK)),                 # up hi window (row j)
+            wrow((nmu * BLK, BLK)),                 # up lo window (row j)
             _full(self.pack.dwv.shape, pltpu.VMEM),
             _full(dwv_lo.shape, pltpu.VMEM),
             _full(self.pack.da.shape, pltpu.VMEM),
-            _full(self.pack.db.shape, pltpu.VMEM),
+            wrow((BLK, self.pack.db.shape[1])),     # diag-b hi (row j)
             _full(dal.shape, pltpu.VMEM),
-            _full(dbl.shape, pltpu.VMEM),
+            wrow((BLK, dbl.shape[1])),              # diag-b lo (row j)
             _full((nbu * fop.ddp, BLK), pltpu.VMEM),
         ]
         out_spec = pl.BlockSpec((fop.ddp, BLK), lambda j: (j, j - j),
@@ -403,19 +412,22 @@ class FusedMatvecDS:
 
 
 def fused_ds_vmem_ok(fop: FusedNormalOp,
-                     budget_bytes: int = 118 * 2**20) -> bool:
-    """VMEM feasibility of the DS kernel: one V3 plane + f32 hi tables +
-    bf16 lo tables + double-buffered output accumulators (no gather
-    scratch — the kernel feeds matmuls from ref slices)."""
+                     budget_bytes: int = 112 * 2**20) -> bool:
+    """VMEM feasibility of the DS kernel: one V3 plane + fully-resident dw
+    tables (f32 hi + bf16 lo) + per-j windowed up tables and diag-b stacks
+    (double-buffered) + output accumulators.  The budget leaves ~16M of the
+    128M/core for Mosaic scoped overhead (calibrated on chip: the
+    pre-windowing variant predicted 113M and measured 137M)."""
     nbu = fop.dup // BLK
     nbd = fop.ddp // BLK
     deg_u = int(np.diff(fop.up_ptr).max()) if nbu else 0
     deg_d = int(np.diff(fop.dw_ptr).max()) if nbd else 0
     v3 = nbu * fop.ddp * BLK * 4
-    blocks = (nbu * max(deg_u, 1) + nbd * max(deg_d, 1)) * BLK * BLK
-    tables = blocks * 4 + blocks * 2          # f32 hi + bf16 lo
-    outs = 4 * fop.ddp * BLK * 4              # 2 outputs, double-buffered
-    return v3 + tables + outs <= budget_bytes
+    dw_blocks = nbd * max(deg_d, 1) * BLK * BLK
+    dw_tables = dw_blocks * 4 + dw_blocks * 2   # f32 hi + bf16 lo, resident
+    up_win = 2 * max(deg_u, 1) * BLK * BLK * (4 + 2)  # windows, dbl-buffered
+    outs = 4 * fop.ddp * BLK * 4                # 2 outputs, double-buffered
+    return v3 + dw_tables + up_win + outs <= budget_bytes
 
 
 class FusedMatvec:

@@ -382,11 +382,15 @@ class SectorTable:
 
     def twin_mask(self) -> np.ndarray:
         """True for sectors to be diagonalized when ed_twin is on
-        (reference setup_global twin_mask, ED_SETUP.f90:592-603)."""
+        (reference setup_global twin_mask, ED_SETUP.f90:592-603).
+
+        normal and superc modes elide twins (superc reconstruction uses the
+        signed spin-swap permutation, see diag._twin_state_joint); nonsu2's
+        Ntot -> 2Ns-Ntot complement is a symmetry only for exactly
+        particle-hole-symmetric models, so both twins stay diagonalized —
+        reference-equal results at ~2x sweep cost."""
         mask = np.ones(len(self), dtype=bool)
-        if not self.cfg.ed_twin or self.cfg.ed_mode != "normal":
-            # joint modes re-diagonalize both twins (reconstruction would
-            # need a signed joint-state permutation; cheap enough to skip)
+        if not self.cfg.ed_twin or self.cfg.ed_mode == "nonsu2":
             return mask
         for i in range(len(self)):
             j = self.twin_of(i)

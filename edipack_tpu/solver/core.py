@@ -400,10 +400,12 @@ def solve_impurity(cfg: EDConfig, hloc: np.ndarray, um: Umatrix,
                                     flag_gf=flag_gf)
 
     from ..utils.timing import PhaseTimer
-    timer = PhaseTimer(verbose=cfg.ed_verbose)
+    timer = PhaseTimer(verbose=cfg.ed_verbose,
+                       trace_dir=cfg.ed_profile_dir or None)
     table = SectorTable(cfg)
     b = _normal_builders(cfg, table, hloc, um, bath)
 
+    timer.__enter__()
     with timer.phase("diagonalization"):
         diag = diagonalize(cfg, table, b.matvec_builder, b.dense_builder,
                            neigen_override=neigen_override,
@@ -432,6 +434,7 @@ def solve_impurity(cfg: EDConfig, hloc: np.ndarray, um: Umatrix,
         from .rdm import impurity_rdm_normal
         rdm = impurity_rdm_normal(cfg, table, diag.state_list)
 
+    timer.__exit__(None, None, None)
     res = SolveResult(cfg=cfg, table=table, diag=diag, gf=gf, obs=obs,
                       bath=bath.copy(), hloc=np.asarray(hloc), um=um,
                       chi=chi, rdm=rdm)

@@ -209,6 +209,28 @@ def diagonalize_sites(cfg: EDConfig, table: SectorTable,
     return out
 
 
+def _twin_state_joint(sec, sec_twin, vector):
+    """superc twin eigenvector: Sz -> -Sz is the spin-swap relabeling of the
+    joint basis, |up,dw> -> (-1)^{nup(nup-1)/2 + ndw(ndw-1)/2} |dw,up>
+    (reference twin_sector_order + flip_state_other,
+    ED_SECTOR.f90:1776-1816; the sign is the JW reordering of each spin
+    block's internal string, verified against re-diagonalization over every
+    Sz pair incl. pairing + interaction terms)."""
+    from ..fock import popcount
+    ns = sec.ns
+    st = np.asarray(sec.states)
+    mask = (np.int64(1) << np.int64(ns)) - 1
+    nup = popcount(st & mask)
+    ndw = popcount(st >> np.int64(ns))
+    sign = (-1.0) ** ((nup * (nup - 1)) // 2 + (ndw * (ndw - 1)) // 2)
+    flip = (st >> np.int64(ns)) | ((st & mask) << np.int64(ns))
+    pos = np.searchsorted(np.asarray(sec_twin.states), flip)
+    v = jnp.reshape(vector, (sec.dim_ph, sec.dim_el))
+    w = jnp.zeros_like(v)
+    w = w.at[:, pos].set(v * jnp.asarray(sign)[None, :].astype(v.dtype))
+    return w.reshape(-1)
+
+
 def _finish_site(cfg: EDConfig, table: SectorTable, sl: StateList,
                  evals_by_sector: Dict[int, np.ndarray], neigen: np.ndarray,
                  twin_mask: np.ndarray, nsec: int) -> DiagResult:
@@ -218,16 +240,19 @@ def _finish_site(cfg: EDConfig, table: SectorTable, sl: StateList,
     # ---- twin reconstruction (reference twin_sector_order,
     # ED_SECTOR.f90:1747-1843). Normal mode: the twin (Ndw,Nup) state is the
     # transpose of V[ph, dw, up] (per-spin convention — spin-label swap).
-    # Joint modes: reconstruction needs a signed state permutation; sectors
-    # were already skipped only for the normal mode (twin_mask), joint modes
-    # diagonalize both twins.
-    if cfg.ed_twin and cfg.ed_mode == "normal":
+    # superc: signed spin-swap permutation of the joint basis (see
+    # _twin_state_joint). nonsu2 diagonalizes both twins (twin_mask).
+    if cfg.ed_twin and cfg.ed_mode in ("normal", "superc"):
         for st in list(sl.states):
             j = table.twin_of(st.sector)
             if j != st.sector and not twin_mask[j]:
                 sec = table.sector(st.sector)
-                v3 = jnp.reshape(st.vector, (sec.dim_ph, sec.dim_dw, sec.dim_up))
-                vt = jnp.swapaxes(v3, 1, 2).reshape(-1)
+                if cfg.ed_mode == "normal":
+                    v3 = jnp.reshape(st.vector,
+                                     (sec.dim_ph, sec.dim_dw, sec.dim_up))
+                    vt = jnp.swapaxes(v3, 1, 2).reshape(-1)
+                else:
+                    vt = _twin_state_joint(sec, table.sector(j), st.vector)
                 sl.add(EigenState(st.energy, j, vt, twin_of=st.sector))
                 if st.sector in evals_by_sector:
                     evals_by_sector[j] = evals_by_sector[st.sector]

@@ -11,12 +11,12 @@ from typing import Dict, Optional
 
 
 class PhaseTimer:
-    def __init__(self, verbose: int = 0, logger=print):
+    def __init__(self, verbose: int = 0, logger=print, trace_dir=None):
         self.timings: Dict[str, float] = {}
         self.verbose = verbose
         self.logger = logger
         self._trace = None
-        trace_dir = os.environ.get("EDIPACK_TPU_PROFILE_DIR")
+        trace_dir = trace_dir or os.environ.get("EDIPACK_TPU_PROFILE_DIR")
         if trace_dir:
             import jax
             self._trace = jax.profiler.trace(trace_dir)

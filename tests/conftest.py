@@ -29,3 +29,20 @@ _cache = os.environ.get("EDIPACK_TPU_XLA_CACHE")
 if _cache:
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+# this jaxlib build intermittently SEGFAULTS in backend_compile_and_load
+# when many hundreds of live compiled executables have accumulated (seen
+# mid-suite in the slow tier; any single file passes in isolation).
+# Dropping the executable caches between modules keeps the live-executable
+# count bounded; the cost is re-tracing shared shapes per module.
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()
+    gc.collect()
