@@ -168,6 +168,8 @@ static void run(const char *fn, PyObject *args) {
 /* ======================================================================= */
 
 void read_input(char *instr) {
+  if (edtpu_init()) return;
+
   run("read_input", Py_BuildValue("(s)", instr));
 }
 
@@ -177,6 +179,7 @@ void read_input(char *instr) {
 
 static void set_hloc_n(const void *h, const void *ha, const int64_t *d,
                        int rank, int nlat) {
+  if (edtpu_init()) return;
   int64_t n = prod(d, rank);
   PyObject *hw = wrap(h, n, "complex128", 0);
   PyObject *aw = ha ? wrap(ha, n, "complex128", 0) : Py_NewRef(Py_None);
@@ -208,6 +211,8 @@ void ed_set_Hloc_lattice_N5(edc *h, edc *ha, int64_t *d, int Nlat) {
 /* ======================================================================= */
 
 int get_bath_dimension_direct(void) {
+  if (edtpu_init()) return -1;
+
   PyObject *r = runv("bath_dimension_direct", NULL);
   long n = r ? PyLong_AsLong(r) : -1;
   Py_XDECREF(r);
@@ -215,6 +220,8 @@ int get_bath_dimension_direct(void) {
 }
 
 int get_bath_dimension_symmetries(int Nsym) {
+  if (edtpu_init()) return -1;
+
   PyObject *r =
       runv("bath_dimension_symmetries", Py_BuildValue("(i)", Nsym));
   long n = r ? PyLong_AsLong(r) : -1;
@@ -223,6 +230,8 @@ int get_bath_dimension_symmetries(int Nsym) {
 }
 
 void search_variable(double *var, double *ntmp, int64_t *converged) {
+  if (edtpu_init()) return;
+
   PyObject *r =
       runv("search_variable", Py_BuildValue("(dd)", var[0], ntmp[0]));
   if (r && PyTuple_Check(r) && PyTuple_Size(r) == 2) {
@@ -233,10 +242,14 @@ void search_variable(double *var, double *ntmp, int64_t *converged) {
 }
 
 void ed_set_A_ph(double *A_new) {
+  if (edtpu_init()) return;
+
   run("set_a_ph", Py_BuildValue("(N)", wrap(A_new, 1, "float64", 0)));
 }
 
 void ed_set_G_ph(edc *G_new) {
+  if (edtpu_init()) return;
+
   run("set_g_ph", Py_BuildValue(
       "(N)", wrap(G_new, (Py_ssize_t)Norb * Norb, "complex128", 0)));
 }
@@ -248,6 +261,7 @@ void ed_set_G_ph(edc *G_new) {
 static void init_hbasis_n(const char *kind, const void *hv,
                           const int64_t *dh, int rh, const double *lam,
                           const int64_t *dl, int rl) {
+  if (edtpu_init()) return;
   run("init_hbasis",
       Py_BuildValue("(sNNNN)", kind, wrap(hv, prod(dh, rh), "complex128", 0),
                     dims_tuple(dh, rh),
@@ -294,6 +308,8 @@ void init_Hgeneral_symmetries_lattice_d5(edc *h, int64_t *dh, double *l,
 
 void break_symmetry_bath_site(double *bath, int64_t *db, double field,
                               double sgn, int sav) {
+  if (edtpu_init()) return;
+
   run("bath_op_site",
       Py_BuildValue("(sNddO)", "ed_break_symmetry_bath",
                     wrap(bath, db[0], "float64", 1), field, sgn,
@@ -302,6 +318,8 @@ void break_symmetry_bath_site(double *bath, int64_t *db, double field,
 
 void break_symmetry_bath_ineq(double *bath, int64_t *db, double field,
                               double *sgn, int sav) {
+  if (edtpu_init()) return;
+
   run("bath_op_ineq",
       Py_BuildValue("(sNNdNO)", "ed_break_symmetry_bath",
                     wrap(bath, prod(db, 2), "float64", 1), dims_tuple(db, 2),
@@ -310,12 +328,16 @@ void break_symmetry_bath_ineq(double *bath, int64_t *db, double field,
 }
 
 void spin_symmetrize_bath_site(double *bath, int64_t *db, int sav) {
+  if (edtpu_init()) return;
+
   run("bath_op_site",
       Py_BuildValue("(sNO)", "ed_spin_symmetrize_bath",
                     wrap(bath, db[0], "float64", 1),
                     sav ? Py_True : Py_False));
 }
 void spin_symmetrize_bath_ineq(double *bath, int64_t *db, int sav) {
+  if (edtpu_init()) return;
+
   run("bath_op_ineq",
       Py_BuildValue("(sNNO)", "ed_spin_symmetrize_bath",
                     wrap(bath, prod(db, 2), "float64", 1), dims_tuple(db, 2),
@@ -324,6 +346,8 @@ void spin_symmetrize_bath_ineq(double *bath, int64_t *db, int sav) {
 
 void orb_symmetrize_bath_site(double *bath, int64_t *db, int orb1, int orb2,
                               int sav) {
+  if (edtpu_init()) return;
+
   run("bath_op_site",
       Py_BuildValue("(sNiiO)", "ed_orb_symmetrize_bath",
                     wrap(bath, db[0], "float64", 1), orb1, orb2,
@@ -331,6 +355,8 @@ void orb_symmetrize_bath_site(double *bath, int64_t *db, int orb1, int orb2,
 }
 void orb_symmetrize_bath_ineq(double *bath, int64_t *db, int orb1, int orb2,
                               int sav) {
+  if (edtpu_init()) return;
+
   run("bath_op_ineq",
       Py_BuildValue("(sNNiiO)", "ed_orb_symmetrize_bath",
                     wrap(bath, prod(db, 2), "float64", 1), dims_tuple(db, 2),
@@ -338,12 +364,16 @@ void orb_symmetrize_bath_ineq(double *bath, int64_t *db, int orb1, int orb2,
 }
 
 void orb_equality_bath_site(double *bath, int64_t *db, int indx, int sav) {
+  if (edtpu_init()) return;
+
   run("bath_op_site",
       Py_BuildValue("(sNiO)", "ed_orb_equality_bath",
                     wrap(bath, db[0], "float64", 1), indx,
                     sav ? Py_True : Py_False));
 }
 void orb_equality_bath_ineq(double *bath, int64_t *db, int indx, int sav) {
+  if (edtpu_init()) return;
+
   run("bath_op_ineq",
       Py_BuildValue("(sNNiO)", "ed_orb_equality_bath",
                     wrap(bath, prod(db, 2), "float64", 1), dims_tuple(db, 2),
@@ -351,12 +381,16 @@ void orb_equality_bath_ineq(double *bath, int64_t *db, int indx, int sav) {
 }
 
 void ph_symmetrize_bath_site(double *bath, int64_t *db, int sav) {
+  if (edtpu_init()) return;
+
   run("bath_op_site",
       Py_BuildValue("(sNO)", "ed_ph_symmetrize_bath",
                     wrap(bath, db[0], "float64", 1),
                     sav ? Py_True : Py_False));
 }
 void ph_symmetrize_bath_ineq(double *bath, int64_t *db, int sav) {
+  if (edtpu_init()) return;
+
   run("bath_op_ineq",
       Py_BuildValue("(sNNO)", "ed_ph_symmetrize_bath",
                     wrap(bath, prod(db, 2), "float64", 1), dims_tuple(db, 2),
@@ -364,10 +398,14 @@ void ph_symmetrize_bath_ineq(double *bath, int64_t *db, int sav) {
 }
 
 void save_array_as_bath_site(double *bath, int64_t *db) {
+  if (edtpu_init()) return;
+
   run("bath_op_site", Py_BuildValue("(sN)", "ed_save_array_as_bath",
                                     wrap(bath, db[0], "float64", 1)));
 }
 void save_array_as_bath_ineq(double *bath, int64_t *db) {
+  if (edtpu_init()) return;
+
   run("bath_op_ineq",
       Py_BuildValue("(sNN)", "ed_save_array_as_bath",
                     wrap(bath, prod(db, 2), "float64", 1),
@@ -381,6 +419,7 @@ void save_array_as_bath_ineq(double *bath, int64_t *db) {
 static void fit_single_n(const void *g, const int64_t *dg, int rg,
                          const void *f, const int64_t *df, double *bath,
                          const int64_t *db, int ispin, int iorb) {
+  if (edtpu_init()) return;
   PyObject *gw = wrap(g, prod(dg, rg), "complex128", 0);
   PyObject *gd = dims_tuple(dg, rg);
   PyObject *fw = f ? wrap(f, prod(df, rg), "complex128", 0)
@@ -419,6 +458,7 @@ void chi2_fitgf_single_superc_n5(edc *g, int64_t *dg, edc *f, int64_t *df,
 static void fit_lattice_n(const void *g, const int64_t *dg, int rg,
                           const void *f, const int64_t *df, double *bath,
                           const int64_t *db, int ispin) {
+  if (edtpu_init()) return;
   PyObject *gw = wrap(g, prod(dg, rg), "complex128", 0);
   PyObject *gd = dims_tuple(dg, rg);
   PyObject *fw = f ? wrap(f, prod(df, rg), "complex128", 0)
@@ -460,11 +500,13 @@ void chi2_fitgf_lattice_superc_n6(edc *g, int64_t *dg, edc *f, int64_t *df,
 /* ======================================================================= */
 
 static void static_site_n(const char *name, double *out, Py_ssize_t n) {
+  if (edtpu_init()) return;
   run("static_site",
       Py_BuildValue("(sN)", name, wrap(out, n, "float64", 1)));
 }
 static void static_lat_n(const char *name, double *out, Py_ssize_t n,
                          int nlat) {
+  if (edtpu_init()) return;
   run("static_lattice",
       Py_BuildValue("(sNi)", name, wrap(out, n, "float64", 1), nlat));
 }
@@ -507,6 +549,7 @@ void ed_get_ephon(double *s) { static_site_n("ephon", s, 2); }
 static void gf_site_n(const char *which, void *out, Py_ssize_t n, int axis,
                       int typ, const void *zeta, int dz, int zflag,
                       int rank) {
+  if (edtpu_init()) return;
   PyObject *zw = (zflag && zeta) ? wrap(zeta, dz, "complex128", 0)
                                  : Py_NewRef(Py_None);
   run("gf_site",
@@ -517,6 +560,7 @@ static void gf_site_n(const char *which, void *out, Py_ssize_t n, int axis,
 static void gf_lat_n(const char *which, void *out, Py_ssize_t n, int nineq,
                      int axis, int typ, const void *zeta, int dz, int zflag,
                      int rank) {
+  if (edtpu_init()) return;
   PyObject *zw = (zflag && zeta) ? wrap(zeta, dz, "complex128", 0)
                                  : Py_NewRef(Py_None);
   run("gf_lattice",
@@ -579,6 +623,7 @@ void get_dimp_lattice_n2(edc *d, int Nineq, int axis, edc *z, int dz,
 static void g0and_delta_n(const char *which, const void *w, const int64_t *dw,
                           double *bath, int nb, void *out, const int64_t *dout,
                           int rank, const char *axis, const char *typ) {
+  if (edtpu_init()) return;
   run("g0and_delta",
       Py_BuildValue("(sNNNNss)", which, wrap(w, dw[0], "complex128", 0),
                     wrap(bath, nb, "float64", 0),
@@ -610,6 +655,7 @@ void get_delta_n5(edc *w, int64_t *dw, double *bath, int nb, edc *out,
 
 static void chi_n(const char *kind, void *out, const void *zeta, int dz,
                   int zflag, const char *axis, int nsites, int latflag) {
+  if (edtpu_init()) return;
   PyObject *zw = (zflag && zeta) ? wrap(zeta, dz, "complex128", 0)
                                  : Py_NewRef(Py_None);
   run("chi_compat",
@@ -641,6 +687,8 @@ void ed_get_exctchi(edc *s, edc *z, int dz, int zf, char *axis, int ns,
 /* ======================================================================= */
 
 void ed_get_impurity_rdm(edc *rdm, int doprint) {
+  if (edtpu_init()) return;
+
   Py_ssize_t dim = 1;
   for (int i = 0; i < Norb; ++i) dim *= 4;
   run("rdm_compat",
@@ -648,11 +696,15 @@ void ed_get_impurity_rdm(edc *rdm, int doprint) {
 }
 
 void ed_get_denmat_n2(edc *dm, int64_t *dims, int doprint) {
+  if (edtpu_init()) return;
+
   run("denmat_compat",
       Py_BuildValue("(NNi)", wrap(dm, prod(dims, 2), "complex128", 1),
                     dims_tuple(dims, 2), doprint));
 }
 void ed_get_denmat_n4(edc *dm, int64_t *dims, int doprint) {
+  if (edtpu_init()) return;
+
   run("denmat_compat",
       Py_BuildValue("(NNi)", wrap(dm, prod(dims, 4), "complex128", 1),
                     dims_tuple(dims, 4), doprint));
@@ -663,42 +715,58 @@ void ed_get_denmat_n4(edc *dm, int64_t *dims, int doprint) {
 /* ======================================================================= */
 
 void init_solver_site(double *bath, int64_t *db) {
+  if (edtpu_init()) return;
+
   run("init_solver_site",
       Py_BuildValue("(N)", wrap(bath, db[0], "float64", 1)));
 }
 void init_solver_site_nobath(void) { run("init_solver_site_nobath", NULL); }
 
 void init_solver_ineq(double *bath, int64_t *db) {
+  if (edtpu_init()) return;
+
   run("init_solver_ineq",
       Py_BuildValue("(NN)", wrap(bath, prod(db, 2), "float64", 1),
                     dims_tuple(db, 2)));
 }
 void init_solver_ineq_nobath(int Nlat) {
+  if (edtpu_init()) return;
+
   run("init_solver_ineq_nobath", Py_BuildValue("(i)", Nlat));
 }
 
 void solve_site(double *bath, int64_t *db, int flag_gf, int flag_mpi) {
+  if (edtpu_init()) return;
+
   (void)flag_mpi;
   run("solve_site", Py_BuildValue("(Ni)", wrap(bath, db[0], "float64", 0),
                                   flag_gf));
 }
 void solve_site_nobath(int flag_gf, int flag_mpi) {
+  if (edtpu_init()) return;
+
   (void)flag_mpi;
   run("solve_site_nobath", Py_BuildValue("(i)", flag_gf));
 }
 
 void solve_ineq(double *bath, int64_t *db, int flag_gf, int mpi_lanc) {
+  if (edtpu_init()) return;
+
   (void)mpi_lanc;
   run("solve_ineq",
       Py_BuildValue("(NNi)", wrap(bath, prod(db, 2), "float64", 0),
                     dims_tuple(db, 2), flag_gf));
 }
 void solve_ineq_nobath(int Nlat, int flag_gf, int mpi_lanc) {
+  if (edtpu_init()) return;
+
   (void)mpi_lanc;
   run("solve_ineq_nobath", Py_BuildValue("(ii)", Nlat, flag_gf));
 }
 
 void finalize_solver(int Nineq) {
+  if (edtpu_init()) return;
+
   run("finalize_solver", Py_BuildValue("(i)", Nineq));
 }
 
