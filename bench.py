@@ -69,7 +69,8 @@ def main():
         except Exception as e:  # pragma: no cover - fallback path
             print(f"[bench] fused kernel unavailable ({type(e).__name__}: "
                   f"{e}); falling back to XLA matvec", file=sys.stderr)
-        for name, fn in (("superc", bench_superc), ("phonon", bench_phonon),
+        for name, fn in (("superc", bench_superc), ("nonsu2", bench_nonsu2),
+                         ("phonon", bench_phonon),
                          ("gs", lambda e: bench_gs(op, cfg, e))):
             try:
                 fn(extra)
@@ -234,6 +235,52 @@ def bench_superc(extra):
     dt = (time.time() - t0) / K
     extra["superc_c64_nnz_per_s"] = mv.nnz / dt
     print(f"[bench] superc c64 ELL: {dt*1e3:.3f} ms/matvec "
+          f"({mv.nnz/dt/1e9:.2f} Gnnz/s, dim={mv.dim}, nnz={mv.nnz})",
+          file=sys.stderr)
+
+
+def bench_nonsu2(extra):
+    """Benchmark config 4: nonsu2 complex blocks (SOC + in-plane field),
+    largest Ntot sector joint-ELL matvec."""
+    import jax
+    import jax.numpy as jnp
+    from edipack_tpu.config import default_config
+    from edipack_tpu.bath.dmft_bath import init_bath
+    from edipack_tpu.models.joint import build_joint_sector_op
+    from edipack_tpu.ops.matvec import JointMatvec
+    from edipack_tpu.sectors import SectorTable
+    from edipack_tpu.umatrix import build_umatrix
+
+    cfg = default_config(norb=2, nbath=3, nspin=2, ed_mode="nonsu2",
+                         uloc=[2.0, 2.0], ust=1.2, jh=0.25,
+                         spin_field_x=[0.1, 0.1])
+    um = build_umatrix(cfg)
+    bath = init_bath(cfg)
+    hloc = np.zeros((2, 2, 2, 2), complex)
+    hloc[0, 1] = 0.1j * np.eye(2)   # SOC-like spin-mixing block
+    hloc[1, 0] = -0.1j * np.eye(2)
+    table = SectorTable(cfg)
+    sec = table.by_qn(("nt", table.dims.ns))
+    op = build_joint_sector_op(cfg, sec, hloc, um, bath)
+    mv = JointMatvec(op, dtype=jnp.complex64)
+
+    K = 20
+
+    def step(v, _):
+        w = mv(v)
+        return w / jnp.linalg.norm(w), None
+    f = jax.jit(lambda v: jnp.abs(
+        jax.lax.scan(step, v, None, length=K)[0][0]))
+    rng = np.random.default_rng(0)
+    v = jax.device_put(jnp.asarray(
+        (rng.normal(size=mv.dim) + 1j * rng.normal(size=mv.dim))
+        .astype(np.complex64)))
+    _ = float(f(v))
+    t0 = time.time()
+    _ = float(f(v))
+    dt = (time.time() - t0) / K
+    extra["nonsu2_c64_nnz_per_s"] = mv.nnz / dt
+    print(f"[bench] nonsu2 c64 ELL: {dt*1e3:.3f} ms/matvec "
           f"({mv.nnz/dt/1e9:.2f} Gnnz/s, dim={mv.dim}, nnz={mv.nnz})",
           file=sys.stderr)
 

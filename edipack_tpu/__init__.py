@@ -113,6 +113,11 @@ from .main import (
 from .bath import (
     ed_set_hreplica,
     ed_set_hgeneral,
+    ed_set_linit_hreplica,
+    ed_set_linit_hgeneral,
+    ed_set_hsym_hreplica,
+    ed_set_hsym_hgeneral,
+    ed_read_dmft_bath,
     ed_spin_symmetrize_bath,
     ed_orb_symmetrize_bath,
     ed_break_symmetry_bath,

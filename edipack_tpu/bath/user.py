@@ -36,6 +36,56 @@ def ed_set_hreplica(hvec, lambdavec, nbath: Optional[int] = None) -> ReplicaBasi
 ed_set_hgeneral = ed_set_hreplica
 
 
+def ed_set_linit_hreplica(lvec) -> None:
+    """Set the initial lambda vector of the installed replica/general basis
+    (reference set_linit_Hreplica, ED_BATH_REPLICA.f90:448-460;
+    lvec: (Nbath, Nsym))."""
+    if _global_basis is None:
+        raise RuntimeError("set_linit: install a basis with ed_set_hreplica "
+                           "first (reference Hb%status=F stop)")
+    lvec = np.asarray(lvec, float)
+    nb, nsym = _global_basis.linit.shape
+    if lvec.shape != (nb, nsym):
+        raise ValueError(f"linit shape {lvec.shape} != ({nb},{nsym})")
+    _global_basis.linit = lvec
+
+
+ed_set_linit_hgeneral = ed_set_linit_hreplica
+
+
+def ed_set_hsym_hreplica(isym: int, hsym) -> None:
+    """Replace basis matrix ``isym`` (1-based) of the installed
+    replica/general basis (reference set_hsym_Hreplica,
+    ED_BATH_REPLICA.f90:463-478; hsym: (Nspin,Nspin,Norb,Norb))."""
+    if _global_basis is None:
+        raise RuntimeError("set_hsym: install a basis with ed_set_hreplica "
+                           "first")
+    h = np.asarray(hsym, complex)
+    ops = _global_basis.ops
+    tgt = ops[isym - 1]
+    if h.size != tgt.size:
+        raise ValueError(f"hsym size {h.shape} incompatible with basis "
+                         f"op shape {tgt.shape}")
+    ops[isym - 1] = h.reshape(tgt.shape)
+
+
+ed_set_hsym_hgeneral = ed_set_hsym_hreplica
+
+
+def ed_read_dmft_bath(bath_array=None, cfg=None):
+    """Read the bath from <hfile><suffix>.restart into the packed user
+    array (reference read_dmft_bath, ED_BATH_DMFT.f90); returns the packed
+    array."""
+    from .dmft_bath import (array_to_bath, bath_to_array, init_bath,
+                            read_bath_file)
+    cfg = cfg or get_config()
+    path = cfg.hfile + cfg.ed_file_suffix + ".restart"
+    b = init_bath(cfg, basis=_global_basis) if bath_array is None \
+        else array_to_bath(np.asarray(bath_array, float), cfg, _global_basis)
+    b = read_bath_file(b, path)
+    return bath_to_array(b)
+
+
 def get_global_basis() -> Optional[ReplicaBasis]:
     return _global_basis
 

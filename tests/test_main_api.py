@@ -129,3 +129,34 @@ def test_bath_dimension_and_symmetrize(tmp_path):
     bb3 = array_to_bath(b3, cfg)
     assert np.allclose(bb3.e[0], bb.e[0] + 0.1)
     ed.ed_finalize_solver()
+
+
+def test_replica_basis_mutators_and_bath_read(tmp_path, monkeypatch):
+    """ed_set_linit/hsym_Hreplica + ed_read_dmft_bath parity (reference
+    ED_BATH_REPLICA.f90:448-478, ED_BATH_DMFT read_dmft_bath)."""
+    import numpy as np
+    import edipack_tpu as E
+    from edipack_tpu.config import default_config, set_config
+    monkeypatch.chdir(tmp_path)
+
+    cfg = default_config(norb=1, nbath=2, bath_type="replica", nspin=1)
+    set_config(cfg)
+    ops = np.zeros((2, 1, 1, 1, 1), complex)
+    ops[0] = 1.0
+    ops[1] = 0.5
+    E.ed_set_hreplica(ops, np.array([[0.3, 1.0], [-0.3, 1.0]]))
+    E.ed_set_linit_hreplica(np.array([[0.5, 0.9], [-0.5, 0.9]]))
+    E.ed_set_hsym_hreplica(2, 0.7 * np.ones((1, 1, 1, 1)))
+    b = E.bath.get_global_basis()
+    assert b.linit[0, 0] == 0.5 and b.ops[1].ravel()[0] == 0.7
+    import pytest
+    with pytest.raises(ValueError):
+        E.ed_set_linit_hreplica(np.zeros((3, 2)))
+
+    cfg2 = default_config(norb=1, nbath=2, nspin=1)
+    set_config(cfg2)
+    E.bath.user.clear_global_basis()
+    arr = E.ed_init_solver(cfg=cfg2)
+    E.ed_save_array_as_bath(arr)
+    back = E.ed_read_dmft_bath()
+    np.testing.assert_allclose(np.asarray(back), np.asarray(arr))
