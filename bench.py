@@ -152,10 +152,13 @@ def bench_fused(op, cfg, roofline_csr, extra):
     # (the mixed matvec is the default GF driver, core.py gf_matvec_builder)
     from edipack_tpu.ops.lanczos import lanczos_tridiag
     m = cfg.lanc_ngfiter
-    a, b, n0 = lanczos_tridiag(mv, vflat, m)
+    # jit the whole tridiag so the second (timed) call reuses the compiled
+    # executable instead of re-tracing the m-step scan
+    tri = jax.jit(lambda u: lanczos_tridiag(mv, u, m))
+    a, b, n0 = tri(vflat)
     _ = float(np.asarray(a)[0])
     t0 = time.time()
-    a, b, n0 = lanczos_tridiag(mv, vflat, m)
+    a, b, n0 = tri(vflat)
     _ = float(np.asarray(a)[0])
     dtg = time.time() - t0
     extra["gf_lanczos_iters_per_s"] = m / dtg
@@ -226,9 +229,9 @@ def bench_superc(extra):
     f = jax.jit(lambda v: jnp.abs(
         jax.lax.scan(step, v, None, length=K)[0][0]))
     rng = np.random.default_rng(0)
-    v = jax.device_put(jnp.asarray(
-        (rng.normal(size=mv.dim) + 1j * rng.normal(size=mv.dim))
-        .astype(np.complex64)))
+    from edipack_tpu.ops.matvec import device_put_cplx
+    v = device_put_cplx(rng.normal(size=mv.dim)
+                        + 1j * rng.normal(size=mv.dim), jnp.complex64)
     _ = float(f(v))
     t0 = time.time()
     _ = float(f(v))
@@ -272,9 +275,9 @@ def bench_nonsu2(extra):
     f = jax.jit(lambda v: jnp.abs(
         jax.lax.scan(step, v, None, length=K)[0][0]))
     rng = np.random.default_rng(0)
-    v = jax.device_put(jnp.asarray(
-        (rng.normal(size=mv.dim) + 1j * rng.normal(size=mv.dim))
-        .astype(np.complex64)))
+    from edipack_tpu.ops.matvec import device_put_cplx
+    v = device_put_cplx(rng.normal(size=mv.dim)
+                        + 1j * rng.normal(size=mv.dim), jnp.complex64)
     _ = float(f(v))
     t0 = time.time()
     _ = float(f(v))

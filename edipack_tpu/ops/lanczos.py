@@ -25,6 +25,110 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# ---------------------------------------------------------------------------
+# jitted micro-helpers.  The restart driver runs on the host between jitted
+# sweeps; every device op it issues must itself be jitted — tunneled TPU
+# transports reject eager dispatch (UNIMPLEMENTED), and even locally each
+# eager op costs a dispatch round-trip.
+# ---------------------------------------------------------------------------
+
+def _jitted(fn, owner=None, attr="_edtpu_jit"):
+    """jit with a cache hung on the callable (or an explicit owner)."""
+    tgt = owner if owner is not None else fn
+    f = getattr(tgt, attr, None)
+    if f is None:
+        f = jax.jit(fn)
+        try:
+            setattr(tgt, attr, f)
+        except AttributeError:
+            pass
+    return f
+
+
+@jax.jit
+def _j_norm(v):
+    return jnp.linalg.norm(v)
+
+
+@jax.jit
+def _j_scale(v, s):
+    return v / s
+
+
+@jax.jit
+def _j_normalize_or(v, fb):
+    n = jnp.linalg.norm(v)
+    return jnp.where(n > 1e-12, v / jnp.where(n > 0, n, 1.0), fb)
+
+
+@jax.jit
+def _stack_impl(*vs):
+    return jnp.stack(vs)
+
+
+def _j_stack(vs):
+    return _stack_impl(*vs)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _j_zeros(shape, dtype):
+    return jnp.zeros(shape, dtype)
+
+
+@jax.jit
+def _j_row(a, j):
+    return a[j]
+
+
+@jax.jit
+def _j_deflate(lk, v):
+    return v - (jnp.conj(lk) @ v) @ lk
+
+
+@jax.jit
+def _j_deflate_one(e, u):
+    return u - jnp.vdot(e, u) * e
+
+
+@jax.jit
+def _j_ritz(t_real, vd):
+    """(n, k) real host coefficients x (k, dim) device basis."""
+    return t_real.astype(vd.dtype) @ vd
+
+
+@jax.jit
+def _j_vdot_real(a, b):
+    return jnp.vdot(a, b).real
+
+
+@jax.jit
+def _j_axpy(a, s, b):
+    return a - s * b
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _j_randn_t(key, dim, dtype):
+    v = jax.random.normal(key, (dim,), dtype=jnp.float64)
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        v = v + 1j * jax.random.normal(jax.random.fold_in(key, 1), (dim,),
+                                       dtype=jnp.float64)
+    return v.astype(dtype)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _j_astype(v, dtype):
+    return v.astype(dtype)
+
+
+def _as_dev(v, dtype):
+    """Move v to device at dtype without eager device casts or complex
+    host->device transfers (ops.matvec.device_put_cplx)."""
+    if isinstance(v, jax.Array):
+        return v if v.dtype == dtype else _j_astype(v, dtype)
+    from .matvec import device_put_cplx
+    return device_put_cplx(np.asarray(v), dtype)
+
+
 def _sweep_body(matvec, reorth_every):
     def body(carry, i):
         V, alphas, betas, v, beta_prev, v_prev = carry
@@ -134,24 +238,21 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
         m = min(dim, max(4 * nev + 24, 48))
     m = min(m, dim)
     if key is None:
-        key = jax.random.PRNGKey(17)
+        key = _jitted(jax.random.PRNGKey)(17)
     if v0 is None:
-        v0 = jax.random.normal(key, (dim,), dtype=jnp.float64).astype(dtype)
-        if jnp.issubdtype(dtype, jnp.complexfloating):
-            v0 = v0 + 1j * jax.random.normal(jax.random.fold_in(key, 1),
-                                             (dim,), dtype=jnp.float64).astype(dtype)
-    v0 = jnp.asarray(v0, dtype)
+        v0 = _j_randn_t(key, dim, dtype)
+    v0 = _as_dev(v0, dtype)
     if hasattr(matvec, "v0_project"):
         # padded operator spaces (fused kernel): zero the structural padding
         # so spurious zero-modes of the pad block never enter the Krylov space
-        v0 = matvec.v0_project(v0)
+        v0 = _jitted(matvec.v0_project, owner=matvec, attr="_edtpu_jit_v0p")(v0)
 
     locked_vecs = []
     locked_vals = []
     start = v0
     for restart in range(max_restarts):
-        locked = (jnp.stack(locked_vecs) if locked_vecs
-                  else jnp.zeros((0, dim), dtype))
+        locked = (_j_stack(locked_vecs) if locked_vecs
+                  else _j_zeros((0, dim), dtype))
         alphas, betas, V = lanczos_sweep(matvec, start, m, locked)
         a = np.asarray(alphas)
         b = np.asarray(betas)
@@ -170,20 +271,20 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
         want = nev - len(locked_vals)
         n_take = min(want, k_eff)
         resids = np.abs(beta_last * tvecs[-1, :n_take])
-        Vd = V[:k_eff]
-        ritz = jnp.asarray(tvecs[:, :n_take].T, dtype) @ Vd  # (n_take, dim)
+        Vd = _j_take_rows(V, k_eff)
+        ritz = _j_ritz(np.asarray(tvecs[:, :n_take].T, np.float64),
+                       Vd)                                   # (n_take, dim)
         scale = max(1.0, np.abs(tvals).max())
         newly_converged = 0
         for j in range(n_take):
             if resids[j] < tol * scale or k_eff >= dim - len(locked_vals):
-                vec = ritz[j]
+                vec = _j_row(ritz, j)
                 if locked_vecs:
-                    lk = jnp.stack(locked_vecs)
-                    vec = vec - (jnp.conj(lk) @ vec) @ lk
-                nrm = jnp.linalg.norm(vec)
-                if float(nrm) < 1e-10:
+                    vec = _j_deflate(_j_stack(locked_vecs), vec)
+                nrm = float(_j_norm(vec))
+                if nrm < 1e-10:
                     continue
-                locked_vecs.append(vec / nrm)
+                locked_vecs.append(_j_scale(vec, nrm))
                 locked_vals.append(float(tvals[j]))
                 newly_converged += 1
             else:
@@ -193,26 +294,27 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
         # restart from the first unconverged Ritz vector
         j0 = newly_converged
         if j0 < n_take:
-            start = ritz[j0]
+            start = _j_row(ritz, j0)
         else:
-            key = jax.random.fold_in(key, restart + 100)
-            start = jax.random.normal(key, (dim,), dtype=jnp.float64).astype(dtype)
+            key = _jitted(jax.random.fold_in)(key, restart + 100)
+            start = _j_randn_t(key, dim, dtype)
             if hasattr(matvec, "v0_project"):
-                start = matvec.v0_project(start)
-        nrm = jnp.linalg.norm(start)
-        start = jnp.where(nrm > 1e-12, start / nrm, v0)
+                start = _jitted(matvec.v0_project, owner=matvec,
+                                attr="_edtpu_jit_v0p")(start)
+        start = _j_normalize_or(start, v0)
     else:
         if len(locked_vals) < nev:
             # accept best available Ritz approximations
             for j in range(len(locked_vals), nev):
                 idx = j - len(locked_vals)
                 if idx < ritz.shape[0]:
-                    locked_vecs.append(ritz[idx] / jnp.linalg.norm(ritz[idx]))
+                    vec = _j_row(ritz, idx)
+                    locked_vecs.append(_j_scale(vec, float(_j_norm(vec))))
                     locked_vals.append(float(tvals[idx]))
 
     order = np.argsort(locked_vals[:nev])
     vals = np.asarray(locked_vals)[order]
-    vecs = jnp.stack([locked_vecs[i] for i in order])
+    vecs = _j_stack([locked_vecs[i] for i in order])
 
     if refine_matvec is not None and vecs.shape[0] > 0:
         # The reduced-precision Lanczos delivers vectors with error
@@ -229,12 +331,13 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
         # error, instead of ~ δ).
         pol_vals, pol_vecs = [], []
         for i in range(vecs.shape[0]):
-            val, vec = _cluster_polish(refine_matvec, vecs[i], pol_vecs, dim)
+            val, vec = _cluster_polish(refine_matvec, _j_row(vecs, i),
+                                       pol_vecs, dim)
             pol_vals.append(val)
             pol_vecs.append(vec)
         order = np.argsort(pol_vals)
         vals = np.asarray(pol_vals)[order]
-        vecs = jnp.stack([pol_vecs[i] for i in order])
+        vecs = _j_stack([pol_vecs[i] for i in order])
     return vals, vecs
 
 
@@ -263,14 +366,14 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
     Returns (value, vector)."""
     dtype = vec.dtype
     m_ref = min(m_ref, dim - 1) or 1
+    mvj = _jitted(matvec)
     block = [vec]
-    val = float(np.real(np.vdot(np.asarray(vec),
-                                np.asarray(matvec(vec)))))
+    val = float(_j_vdot_real(vec, mvj(vec)))
     best = (np.inf, val, vec)
     start = vec
     for _round in range(max_rounds):
-        lk = (jnp.stack(deflate) if deflate
-              else jnp.zeros((0, dim), dtype))
+        lk = (_j_stack(deflate) if deflate
+              else _j_zeros((0, dim), dtype))
         a2, b2, V2 = lanczos_sweep(matvec, start, m_ref, lk)
         a2 = np.asarray(a2)
         b2 = np.asarray(b2)
@@ -283,51 +386,100 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
         t = np.diag(a2[:k_eff])
         if k_eff > 1:
             t += np.diag(b2[:k_eff - 1], 1) + np.diag(b2[:k_eff - 1], -1)
-        Vd = V2[:k_eff]                                       # (k, dim)
+        Vd = _j_take_rows(V2, k_eff)                          # (k, dim)
         extras = []
         for u in block:
             if deflate:
-                lkk = jnp.stack(deflate)
-                u = u - (jnp.conj(lkk) @ u) @ lkk
+                u = _j_deflate(_j_stack(deflate), u)
             for _ in range(2):
-                u = u - (jnp.conj(Vd) @ u) @ Vd
+                u = _j_deflate(Vd, u)
                 for e in extras:
-                    u = u - jnp.vdot(e, u) * e
-            nrm = float(jnp.linalg.norm(u))
+                    u = _j_deflate_one(e, u)
+            nrm = float(_j_norm(u))
             if nrm > 1e-7:
-                extras.append(u / nrm)
+                extras.append(_j_scale(u, nrm))
         kb = len(extras)
         n_rr = k_eff + kb
-        cplx = np.iscomplexobj(np.asarray(vec[:0]))
+        cplx = jnp.issubdtype(dtype, jnp.complexfloating)
         hs = np.zeros((n_rr, n_rr), dtype=complex if cplx else float)
         hs[:k_eff, :k_eff] = t
         if kb:
-            E = jnp.stack(extras)                             # (kb, dim)
-            HE = jnp.stack([matvec(E[j]) for j in range(kb)])
-            hs[:k_eff, k_eff:] = np.asarray(jnp.conj(Vd) @ HE.T)
-            hs[k_eff:, k_eff:] = np.asarray(jnp.conj(E) @ HE.T)
+            E = _j_stack(extras)                              # (kb, dim)
+            HE = _j_stack([mvj(_j_row(E, j)) for j in range(kb)])
+            hs[:k_eff, k_eff:] = np.asarray(_j_inner(Vd, HE))
+            hs[k_eff:, k_eff:] = np.asarray(_j_inner(E, HE))
             hs[k_eff:, :k_eff] = hs[:k_eff, k_eff:].conj().T
         hs = 0.5 * (hs + hs.conj().T)
         sv, su = np.linalg.eigh(hs)
         nw = min(max_cluster, n_rr)
-        cw = jnp.asarray(su[:, :nw].T, dtype)                 # (nw, n_rr)
-        W = cw[:, :k_eff] @ Vd
+        cw = np.asarray(su[:, :nw].T, np.float64) if not cplx \
+            else np.asarray(su[:, :nw].T)
         if kb:
-            W = W + cw[:, k_eff:] @ E
-        vec = W[0] / jnp.linalg.norm(W[0])
-        hv = matvec(vec)
-        val = float(np.real(jnp.vdot(vec, hv)))
-        rvec = hv - val * vec
-        resid = float(jnp.linalg.norm(rvec))
+            W = _j_combine2(np.ascontiguousarray(cw[:, :k_eff].real),
+                            np.ascontiguousarray(cw[:, k_eff:].real), Vd, E) \
+                if not cplx else _j_combine2c(cw[:, :k_eff], cw[:, k_eff:],
+                                              Vd, E)
+        else:
+            W = _j_ritz(np.ascontiguousarray(cw.real), Vd) if not cplx \
+                else _j_ritzc(cw, Vd)
+        w0 = _j_row(W, 0)
+        vec = _j_scale(w0, float(_j_norm(w0)))
+        hv = mvj(vec)
+        val = float(_j_vdot_real(vec, hv))
+        rvec = _j_axpy(hv, val, vec)
+        resid = float(_j_norm(rvec))
         scale = max(1.0, abs(val))
         if resid < best[0]:
             best = (resid, val, vec)
         if resid < rtol * scale:
             break
-        block = [vec] + [W[j] / jnp.linalg.norm(W[j])
-                         for j in range(1, nw)][: max_cluster - 1]
-        start = rvec / resid if resid > 1e-14 * scale else vec
+        block = [vec]
+        for j in range(1, nw):
+            if len(block) >= max_cluster:
+                break
+            wj = _j_row(W, j)
+            block.append(_j_scale(wj, float(_j_norm(wj))))
+        start = _j_scale(rvec, resid) if resid > 1e-14 * scale else vec
     return best[1], best[2]
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _j_take_rows(a, k):
+    return a[:k]
+
+
+@jax.jit
+def _j_inner(a, b):
+    return jnp.conj(a) @ b.T
+
+
+@jax.jit
+def _j_combine2(c1, c2, vd, e):
+    return c1.astype(vd.dtype) @ vd + c2.astype(vd.dtype) @ e
+
+
+def _j_ritzc(c, vd):
+    """complex host coefficients: ship real/imag planes separately."""
+    return _j_ritzc_impl(np.ascontiguousarray(c.real),
+                         np.ascontiguousarray(c.imag), vd)
+
+
+@jax.jit
+def _j_ritzc_impl(cr, ci, vd):
+    return (cr + 1j * ci).astype(vd.dtype) @ vd
+
+
+def _j_combine2c(c1, c2, vd, e):
+    return _j_combine2c_impl(np.ascontiguousarray(c1.real),
+                             np.ascontiguousarray(c1.imag),
+                             np.ascontiguousarray(c2.real),
+                             np.ascontiguousarray(c2.imag), vd, e)
+
+
+@jax.jit
+def _j_combine2c_impl(c1r, c1i, c2r, c2i, vd, e):
+    return (c1r + 1j * c1i).astype(vd.dtype) @ vd \
+        + (c2r + 1j * c2i).astype(vd.dtype) @ e
 
 
 @jax.jit

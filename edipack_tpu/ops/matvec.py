@@ -30,6 +30,20 @@ import numpy as np
 from ..models.normal import NormalSectorOp
 
 
+def device_put_cplx(x, dtype=jnp.complex128):
+    """device_put that survives transports without complex-transfer support
+    (the tunneled TPU rejects batched_device_put of complex hosts buffers
+    with UNIMPLEMENTED): ship real/imag planes and combine on device inside
+    a jit. Real inputs take the plain path."""
+    x = np.asarray(x)
+    if not np.iscomplexobj(x):
+        return jax.device_put(jnp.asarray(np.asarray(x), dtype))
+    f = np.float32 if dtype == jnp.complex64 else np.float64
+    re = jax.device_put(jnp.asarray(np.ascontiguousarray(x.real, f)))
+    im = jax.device_put(jnp.asarray(np.ascontiguousarray(x.imag, f)))
+    return jax.jit(lambda a, b: (a + 1j * b).astype(dtype))(re, im)
+
+
 def _perm_factor(mats: np.ndarray):
     """Decompose a stack of ≤1-nnz-per-row matrices (signed partial
     permutations — every c/c† operator-string Kron factor has this form)
@@ -255,7 +269,7 @@ class EllMatvec:
         self.k = cols.shape[1]
         self.dtype = dtype
         self.cols = jax.device_put(jnp.asarray(cols, jnp.int32))
-        self.vals = jax.device_put(jnp.asarray(vals, dtype))
+        self.vals = device_put_cplx(vals, dtype)
         self.nnz = int(nnz if nnz is not None else np.count_nonzero(vals))
 
     def __call__(self, v):
@@ -276,17 +290,17 @@ class JointMatvec:
         self.dtype = dtype
         cols, vals = op.ell()
         self.cols = jax.device_put(jnp.asarray(cols, jnp.int32))
-        self.vals = jax.device_put(jnp.asarray(vals, dtype))
+        self.vals = device_put_cplx(vals, dtype)
         self.has_ph = op.ph_mat is not None
         if self.has_ph:
-            self.ph_mat = jax.device_put(jnp.asarray(op.ph_mat, dtype))
-            self.ph_x = jax.device_put(jnp.asarray(op.ph_x, dtype))
-            self.eph_diag = jax.device_put(jnp.asarray(op.eph_diag, dtype))
+            self.ph_mat = device_put_cplx(op.ph_mat, dtype)
+            self.ph_x = device_put_cplx(op.ph_x, dtype)
+            self.eph_diag = device_put_cplx(op.eph_diag, dtype)
             if op.eph_rows is not None and len(op.eph_rows):
                 import numpy as _np
                 e = _np.zeros((self.dim_el, self.dim_el), dtype=complex)
                 _np.add.at(e, (op.eph_rows, op.eph_cols), op.eph_vals)
-                self.eph_dense = jax.device_put(jnp.asarray(e, dtype))
+                self.eph_dense = device_put_cplx(e, dtype)
             else:
                 self.eph_dense = None
         self.nnz = op.nnz_estimate()
@@ -324,13 +338,13 @@ class JointMatvecDirect:
         self.dtype = dtype
         self.rows = jax.device_put(jnp.asarray(op.rows, jnp.int32))
         self.cols = jax.device_put(jnp.asarray(op.cols, jnp.int32))
-        self.vals = jax.device_put(jnp.asarray(op.vals, dtype))
-        self.diag = jax.device_put(jnp.asarray(op.diag, dtype))
+        self.vals = device_put_cplx(op.vals, dtype)
+        self.diag = device_put_cplx(op.diag, dtype)
         self.has_ph = op.ph_mat is not None
         if self.has_ph:
-            self.ph_mat = jax.device_put(jnp.asarray(op.ph_mat, dtype))
-            self.ph_x = jax.device_put(jnp.asarray(op.ph_x, dtype))
-            self.eph_diag = jax.device_put(jnp.asarray(op.eph_diag, dtype))
+            self.ph_mat = device_put_cplx(op.ph_mat, dtype)
+            self.ph_x = device_put_cplx(op.ph_x, dtype)
+            self.eph_diag = device_put_cplx(op.eph_diag, dtype)
             if op.eph_rows is not None and len(op.eph_rows):
                 self.eph_rows = jax.device_put(jnp.asarray(op.eph_rows, jnp.int32))
                 self.eph_cols = jax.device_put(jnp.asarray(op.eph_cols, jnp.int32))
