@@ -211,6 +211,16 @@ def lanczos_tridiag(matvec, v0, m: int):
     return alphas, betas[:-1], norm0
 
 
+@partial(jax.jit, static_argnums=(0, 2))
+def lanczos_tridiag_batch(matvec, v0s, m: int):
+    """Batched storage-free tridiagonalization: one launch runs B
+    independent GF Lanczos chains against the SAME operator (vmap over the
+    start vectors — the TPU upgrade of the reference's per-channel
+    tridiag_Hv_sector loop, ED_GF_NORMAL.f90).  Returns (alphas (B,m),
+    betas (B,m-1), norm0s (B,))."""
+    return jax.vmap(lambda v: lanczos_tridiag(matvec, v, m))(v0s)
+
+
 def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
                  m: Optional[int] = None, tol: float = 1e-12,
                  max_restarts: int = 60, v0: Optional[np.ndarray] = None,

@@ -144,6 +144,41 @@ def _moments_from_phi(matvec, phi, m: int, dense_eig=None):
     return w, tv
 
 
+def _tridiag_moments_host(a, b, n0, m):
+    """Weights/energies from one fetched (alphas, betas, norm0) chain."""
+    if n0 < 1e-15:
+        return np.zeros(0), np.zeros(0)
+    k = m
+    for i in range(m - 1):
+        if b[i] < 1e-13 * max(1.0, np.abs(a).max()):
+            k = i + 1
+            break
+    t = np.diag(a[:k])
+    if k > 1:
+        t += np.diag(b[:k - 1], 1) + np.diag(b[:k - 1], -1)
+    tv, tu = np.linalg.eigh(t)
+    return (n0 ** 2) * np.abs(tu[0, :]) ** 2, tv
+
+
+def _moments_from_phis(matvec, phis, m: int):
+    """Batched Lanczos moments: all ``phis`` target the SAME sector, so the
+    B tridiagonal chains run in ONE vmapped launch
+    (ops.lanczos.lanczos_tridiag_batch); the small (B, m) tridiagonals are
+    solved host-side. Falls back to per-phi launches for internal-layout
+    (fused-kernel) operators, whose pallas matvec does not batch."""
+    from ..ops.lanczos import lanczos_tridiag_batch, _j_stack
+    m = max(2, m)
+    if len(phis) == 1 or hasattr(matvec, "to_internal_flat"):
+        return [_moments_from_phi(matvec, phi, m) for phi in phis]
+    v0s = _j_stack([jnp.asarray(p).reshape(-1) for p in phis])
+    alphas, betas, norm0s = lanczos_tridiag_batch(matvec, v0s, m)
+    a = np.asarray(alphas)
+    b = np.asarray(betas)
+    n0 = np.asarray(norm0s)
+    return [_tridiag_moments_host(a[i], b[i], float(n0[i]), m)
+            for i in range(len(phis))]
+
+
 def build_gf_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
                     matvec_builder: Callable[[Sector], object],
                     dense_eig_cache: Callable[[int], Optional[Tuple]],
@@ -196,19 +231,37 @@ def build_gf_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
                     combos += [(a, b) for a in range(norb)
                                for b in range(a + 1, norb)
                                if a in phis and b in phis]
+                # group same-target-sector Lanczos channels into one
+                # batched launch (ed_total_ud=True: every orbital's c/cdg
+                # lands in the same sector)
+                lanc_groups: Dict[int, list] = {}
                 for (a, b) in combos:
                     phi = phis[a] if a == b else (phis[a] + phis[b])
                     jsec = jsec_of[a]
                     dense_eig = dense_eig_cache(jsec)
-                    mv = None if dense_eig is not None \
-                        else matvec_builder(targets[a])
-                    m = min(cfg.lanc_ngfiter, max(2, targets[a].dim))
-                    w, en = _moments_from_phi(mv, phi, m, dense_eig=dense_eig)
-                    if len(w) == 0:
-                        continue
-                    poles = sgn_kind * (en - ei)
-                    key = ("g", ispin, a, b) if a == b else ("aux", ispin, a, b)
-                    (gf if a == b else aux).add(key, wstate * w, poles)
+                    if dense_eig is not None:
+                        w, en = _moments_from_phi(None, phi, 2,
+                                                  dense_eig=dense_eig)
+                        if len(w):
+                            poles = sgn_kind * (en - ei)
+                            key = ("g", ispin, a, b) if a == b \
+                                else ("aux", ispin, a, b)
+                            (gf if a == b else aux).add(key, wstate * w,
+                                                        poles)
+                    else:
+                        lanc_groups.setdefault(jsec, []).append((a, b, phi))
+                for jsec, items in lanc_groups.items():
+                    tsec = table.sector(jsec)
+                    mv = matvec_builder(tsec)
+                    m = min(cfg.lanc_ngfiter, max(2, tsec.dim))
+                    res = _moments_from_phis(mv, [p for _, _, p in items], m)
+                    for (a, b, _), (w, en) in zip(items, res):
+                        if len(w) == 0:
+                            continue
+                        poles = sgn_kind * (en - ei)
+                        key = ("g", ispin, a, b) if a == b \
+                            else ("aux", ispin, a, b)
+                        (gf if a == b else aux).add(key, wstate * w, poles)
 
     # phonon displacement propagator channel (reference
     # lanc_build_gf_phonon_main, ED_GF_NORMAL.f90:278-345): X = b + b†
