@@ -133,9 +133,13 @@ def bench_fused(op, cfg, roofline_csr, extra):
 
     K2 = 20
 
-    def step(u, _):
-        w = mv(u)
-        return w / jnp.linalg.norm(w), None
+    def step_for(op_mv):
+        def step(u, _):
+            w = op_mv(u)
+            return w / jnp.linalg.norm(w), None
+        return step
+
+    step = step_for(mv)
     f = jax.jit(lambda u: jax.lax.scan(step, u, None, length=K2)[0])
     w = f(vflat)
     _ = float(jnp.vdot(w[:64], w[:64]))
@@ -147,6 +151,49 @@ def bench_fused(op, cfg, roofline_csr, extra):
     extra["fused_mixed_ds_ms"] = round(dtm * 1e3, 3)
     print(f"[bench] fused mixed-ds64: {dtm*1e3:.3f} ms/matvec  "
           f"({rate_ds/1e9:.2f} Gnnz/s)", file=sys.stderr)
+
+    # accuracy of the DS matvec vs exact f64 on the host CPU backend
+    try:
+        import jax.numpy as _jnp
+        cpu = jax.devices("cpu")[0]
+        _jfi = jax.jit(lambda u: mv.from_internal_flat(mv(u)))
+        _jfi0 = jax.jit(mv.from_internal_flat)
+        w_dev = np.asarray(_jfi(vflat))
+        vo = np.asarray(_jfi0(vflat))
+        with jax.default_device(cpu):
+            from edipack_tpu.ops.matvec import KronMatvec
+            ex = KronMatvec(op, dtype=_jnp.float64)
+            w_ref = np.asarray(ex(jnp.asarray(vo)))
+        rel = float(np.abs(w_dev - w_ref).max() / np.abs(w_ref).max())
+        extra["ds_matvec_rel_err"] = rel
+        print(f"[bench] DS matvec rel err vs exact f64: {rel:.2e}",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] DS accuracy check failed ({e})", file=sys.stderr)
+
+    # experimental: hi pass at bf16_3x (Precision.HIGH) — candidate ~2x
+    # speedup if the accuracy stays inside the solver's 2e-6 tolerance
+    try:
+        mv_h = MixedFusedKron(fop, hi_precision="high")
+        fh = jax.jit(lambda u: jax.lax.scan(step_for(mv_h), u, None,
+                                            length=K2)[0])
+        w = fh(vflat)
+        _ = float(jnp.vdot(w[:64], w[:64]))
+        t0 = time.time()
+        w = fh(vflat)
+        _ = float(jnp.vdot(w[:64], w[:64]))
+        dth = (time.time() - t0) / K2
+        extra["fused_mixed_ds_high_ms"] = round(dth * 1e3, 3)
+        extra["fused_mixed_ds_high_nnz_per_s"] = fop.nnz / dth
+        w_dev = np.asarray(jax.jit(
+            lambda u: mv_h.from_internal_flat(mv_h(u)))(vflat))
+        relh = float(np.abs(w_dev - w_ref).max() / np.abs(w_ref).max())
+        extra["ds_high_rel_err"] = relh
+        print(f"[bench] fused mixed-ds64(HIGH): {dth*1e3:.3f} ms/matvec "
+              f"({fop.nnz/dth/1e9:.2f} Gnnz/s, rel err {relh:.2e})",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] DS-high variant failed ({e})", file=sys.stderr)
 
     # GF-Lanczos iterations/s: lanc_ngfiter tridiag steps in one launch
     # (the mixed matvec is the default GF driver, core.py gf_matvec_builder)

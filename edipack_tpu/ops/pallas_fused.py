@@ -569,12 +569,12 @@ class MixedFusedKron:
     cost.  Pair with an exact f64 refine (attribute ``exact``) set by the
     caller for full-precision eigenvalues."""
 
-    def __init__(self, fop: FusedNormalOp):
+    def __init__(self, fop: FusedNormalOp, hi_precision: str = "highest"):
         self.fop = fop
         self.dim = fop.n_internal
         self.dtype = jnp.float64
         self.nnz = fop.nnz
-        self._ds = FusedMatvecDS(fop)
+        self._ds = FusedMatvecDS(fop, hi_precision=hi_precision)
         self._idx = jax.device_put(jnp.asarray(fop.internal_index_map()))
         mask = np.zeros(fop.n_internal, np.float64)
         mask[fop.internal_index_map()] = 1.0

@@ -51,13 +51,19 @@ def _lincomb_phi(v2, maps, coeffs):
 
 
 class _GfHarvester:
-    """Shared moment machinery for the joint-mode GF passes."""
+    """Shared moment machinery for the joint-mode GF passes.
+
+    Dense-eig sectors resolve immediately; Lanczos channels are QUEUED and
+    flushed grouped by target sector — every queued chain against the same
+    operator (across states AND channels) runs in one vmapped
+    lanczos_tridiag_batch launch (greens._moments_from_phis)."""
 
     def __init__(self, cfg, table, matvec_builder, dense_eig_cache):
         self.cfg = cfg
         self.table = table
         self.matvec_builder = matvec_builder
         self.dense_eig_cache = dense_eig_cache
+        self._pending = {}
 
     def moments(self, jsec: int, phi):
         tsec = self.table.sector(jsec)
@@ -65,6 +71,36 @@ class _GfHarvester:
         mv = None if dense_eig is not None else self.matvec_builder(tsec)
         m = min(self.cfg.lanc_ngfiter, max(2, tsec.dim))
         return _moments_from_phi(mv, phi.reshape(-1), m, dense_eig=dense_eig)
+
+    def add_channel(self, store, key, jsec, phi, wfac, sgn, ei):
+        dense_eig = self.dense_eig_cache(jsec)
+        if dense_eig is not None:
+            wts, en = _moments_from_phi(None, phi.reshape(-1), 2,
+                                        dense_eig=dense_eig)
+            if len(wts):
+                store.add(key, wfac * wts, sgn * (en - ei))
+            return
+        self._pending.setdefault(jsec, []).append(
+            (store, key, phi.reshape(-1), wfac, sgn, ei))
+
+    def flush(self):
+        from .greens import _moments_from_phis
+        for jsec, items in self._pending.items():
+            tsec = self.table.sector(jsec)
+            mv = self.matvec_builder(tsec)
+            m = min(self.cfg.lanc_ngfiter, max(2, tsec.dim))
+            if getattr(mv, "_el_padded", None) is not None:
+                # row-sharded ELL: sharding constraints don't compose with
+                # the vmap batch axis — per-channel launches
+                res = [_moments_from_phi(mv, p, m)
+                       for (_, _, p, _, _, _) in items]
+            else:
+                res = _moments_from_phis(mv, [p for (_, _, p, _, _, _)
+                                              in items], m)
+            for (store, key, _, wfac, sgn, ei), (wts, en) in zip(items, res):
+                if len(wts):
+                    store.add(key, wfac * wts, sgn * (en - ei))
+        self._pending = {}
 
 
 def build_gf_superc(cfg: EDConfig, table: SectorTable, sl: StateList,
@@ -88,9 +124,7 @@ def build_gf_superc(cfg: EDConfig, table: SectorTable, sl: StateList,
             ms = [joint_op(sec.states, tsec.states, ns, kind, lvl, spin)
                   for (kind, lvl, spin) in maps]
             phi = _lincomb_phi(v2, ms, coeffs)
-            wts, en = H.moments(jsec, phi)
-            if len(wts):
-                gf.add(key, w[ist] * prefactor * wts, sgn * (en - ei))
+            H.add_channel(gf, key, jsec, phi, w[ist] * prefactor, sgn, ei)
 
         up = SPIN_UP
         dw = SPIN_DW
@@ -138,6 +172,7 @@ def build_gf_superc(cfg: EDConfig, table: SectorTable, sl: StateList,
                     [("cdg", a, up), ("c", b, dw)], [1, 1j], -1j, +1)
             channel(("faux", a, b), jm,
                     [("c", a, up), ("cdg", b, dw)], [1, -1j], -1j, -1)
+    H.flush()
     return gf
 
 
@@ -227,9 +262,7 @@ def build_gf_nonsu2(cfg: EDConfig, table: SectorTable, sl: StateList,
             ms = [joint_op(sec.states, tsec.states, ns, kind, lvl, spin)
                   for (kind, lvl, spin) in maps]
             phi = _lincomb_phi(v2, ms, coeffs)
-            wts, en = H.moments(jsec, phi)
-            if len(wts):
-                gf.add(key, w[ist] * prefactor * wts, sgn * (en - ei))
+            H.add_channel(gf, key, jsec, phi, w[ist] * prefactor, sgn, ei)
 
         for (s, a) in keys:
             channel(("g", (s, a), (s, a)), tgt("cdg", a, s),
@@ -256,6 +289,7 @@ def build_gf_nonsu2(cfg: EDConfig, table: SectorTable, sl: StateList,
                             [("cdg", a, s1), ("cdg", b, s2)], [1, 1j], -1j, +1)
                     channel(("gaux", keys[i1], keys[i2]), jm,
                             [("c", a, s1), ("c", b, s2)], [1, -1j], -1j, -1)
+    H.flush()
     return gf
 
 

@@ -170,13 +170,23 @@ def _moments_from_phis(matvec, phis, m: int):
     m = max(2, m)
     if len(phis) == 1 or hasattr(matvec, "to_internal_flat"):
         return [_moments_from_phi(matvec, phi, m) for phi in phis]
-    v0s = _j_stack([jnp.asarray(p).reshape(-1) for p in phis])
-    alphas, betas, norm0s = lanczos_tridiag_batch(matvec, v0s, m)
-    a = np.asarray(alphas)
-    b = np.asarray(betas)
-    n0 = np.asarray(norm0s)
-    return [_tridiag_moments_host(a[i], b[i], float(n0[i]), m)
-            for i in range(len(phis))]
+    dim = int(np.prod(np.asarray(phis[0]).shape))
+    # chunk so the batched scan's live vectors (~4 per chain) stay bounded
+    max_b = max(2, int((1 << 28) // max(1, 4 * dim * 16)))
+    out = []
+    for lo in range(0, len(phis), max_b):
+        chunk = phis[lo:lo + max_b]
+        if len(chunk) == 1:
+            out.append(_moments_from_phi(matvec, chunk[0], m))
+            continue
+        v0s = _j_stack([jnp.asarray(p).reshape(-1) for p in chunk])
+        alphas, betas, norm0s = lanczos_tridiag_batch(matvec, v0s, m)
+        a = np.asarray(alphas)
+        b = np.asarray(betas)
+        n0 = np.asarray(norm0s)
+        out.extend(_tridiag_moments_host(a[i], b[i], float(n0[i]), m)
+                   for i in range(len(chunk)))
+    return out
 
 
 def build_gf_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
