@@ -19,6 +19,8 @@ matvec rate, and a phonon-coupled (config 5) matvec rate.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -26,6 +28,55 @@ import numpy as np
 
 
 def main():
+    """Orchestrator: each bench section runs in its own subprocess with a
+    hard timeout — the tunneled TPU's remote compile helper sometimes
+    wedges (blocks forever on a dead connection), and one wedged section
+    must not eat the whole benchmark."""
+    here = os.path.abspath(__file__)
+    env = dict(os.environ)
+
+    def run_section(name, timeout):
+        try:
+            r = subprocess.run([sys.executable, here, "--section", name],
+                               capture_output=True, timeout=timeout, env=env)
+            sys.stderr.write(r.stderr.decode())
+            for ln in reversed(r.stdout.decode().splitlines()):
+                if ln.startswith("{"):
+                    return json.loads(ln)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] section {name} timed out after {timeout}s "
+                  f"(tunnel wedge?) — skipped", file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] section {name} failed: {e}", file=sys.stderr)
+        return None
+
+    head = run_section("fused", 2400)
+    if head is None or "rate_ds" not in (head or {}):
+        head = run_section("fused", 2400) or head  # one retry for the headline
+    extra = dict((head or {}).get("extra", {}))
+    rate_ds = (head or {}).get("rate_ds")
+    roofline_csr = (head or {}).get("roofline_csr", 8.19e10)
+    for name in ("superc", "nonsu2", "phonon", "gs"):
+        r = run_section(name, 900)
+        if r:
+            extra.update(r.get("extra", {}))
+    if rate_ds is None:
+        r = run_section("xla", 900)
+        if r:
+            rate_ds = r.get("rate_ds")
+            extra.update(r.get("extra", {}))
+    if rate_ds is None:
+        rate_ds = 0.0
+    print(json.dumps({
+        "metric": "sector_spmv_mixed_ds_nnz_per_s",
+        "value": rate_ds,
+        "unit": "nnz/s",
+        "vs_baseline": rate_ds / roofline_csr,
+        "extra": extra,
+    }))
+
+
+def section_main(section):
     import jax
     import jax.numpy as jnp
 
@@ -63,33 +114,31 @@ def main():
 
     extra = {"build_s": round(t_build, 2), "platform": platform}
     rate_ds = None
-    if platform in ("tpu", "axon"):
+    print(f"[bench] platform={platform} build={t_build:.2f}s "
+          f"roofline_csr={roofline_csr:.3e} nnz/s section={section}",
+          file=sys.stderr)
+    if section == "fused" and platform in ("tpu", "axon"):
         try:
             rate_ds = bench_fused(op, cfg, roofline_csr, extra)
         except Exception as e:  # pragma: no cover - fallback path
             print(f"[bench] fused kernel unavailable ({type(e).__name__}: "
-                  f"{e}); falling back to XLA matvec", file=sys.stderr)
-        for name, fn in (("superc", bench_superc), ("nonsu2", bench_nonsu2),
-                         ("phonon", bench_phonon),
-                         ("gs", lambda e: bench_gs(op, cfg, e))):
-            try:
-                fn(extra)
-            except Exception as e:  # pragma: no cover
-                print(f"[bench] {name} bench failed ({type(e).__name__}: {e})",
-                      file=sys.stderr)
-    if rate_ds is None:
+                  f"{e})", file=sys.stderr)
+    elif section == "superc":
+        bench_superc(extra)
+    elif section == "nonsu2":
+        bench_nonsu2(extra)
+    elif section == "phonon":
+        bench_phonon(extra)
+    elif section == "gs" and platform in ("tpu", "axon"):
+        bench_gs(op, cfg, extra)
+    elif section == "xla" or (section == "fused"
+                              and platform not in ("tpu", "axon")):
         rate_ds = bench_xla(op, platform)
 
-    print(f"[bench] platform={platform} build={t_build:.2f}s "
-          f"roofline_csr={roofline_csr:.3e} nnz/s", file=sys.stderr)
-
-    print(json.dumps({
-        "metric": "sector_spmv_mixed_ds_nnz_per_s",
-        "value": rate_ds,
-        "unit": "nnz/s",
-        "vs_baseline": rate_ds / roofline_csr,
-        "extra": extra,
-    }))
+    out = {"extra": extra, "roofline_csr": roofline_csr}
+    if rate_ds is not None:
+        out["rate_ds"] = rate_ds
+    print(json.dumps(out))
 
 
 def bench_fused(op, cfg, roofline_csr, extra):
@@ -410,4 +459,7 @@ def bench_xla(op, platform):
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        section_main(sys.argv[2])
+    else:
+        main()
