@@ -53,3 +53,42 @@ def test_real_axis_evaluation():
     assert abs(np.trapezoid(aw, w) - 1.0) < 0.05
     s = res.get_sigma(axis="r")
     assert np.all(np.imag(s[0, 0, 0, 0]) < 1e-8)  # causal self-energy
+
+
+def test_device_put_cplx_roundtrip():
+    """Complex transfers ship as real/imag planes (tunneled-TPU-safe path,
+    ops.matvec.device_put_cplx) and must be bit-exact."""
+    import numpy as np
+    import jax.numpy as jnp
+    from edipack_tpu.ops.matvec import device_put_cplx
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=17) + 1j * rng.normal(size=17)
+    for dt in (jnp.complex64, jnp.complex128):
+        y = np.asarray(device_put_cplx(x, dt))
+        assert y.dtype == np.dtype(dt)
+        np.testing.assert_allclose(y, x.astype(np.dtype(dt)), rtol=0)
+    r = np.asarray(device_put_cplx(np.arange(5.0), jnp.float32))
+    assert r.dtype == np.float32
+
+
+def test_lanczos_tridiag_batch_matches_single():
+    import numpy as np
+    import jax.numpy as jnp
+    from edipack_tpu.ops.lanczos import lanczos_tridiag, lanczos_tridiag_batch
+    rng = np.random.default_rng(2)
+    n = 64
+    h = rng.normal(size=(n, n))
+    h = (h + h.T) / 2
+    hj = jnp.asarray(h)
+
+    def mv(v):
+        return hj @ v
+    v0s = jnp.asarray(rng.normal(size=(3, n)))
+    ab, bb, nb = lanczos_tridiag_batch(mv, v0s, 12)
+    for i in range(3):
+        a1, b1, n1 = lanczos_tridiag(mv, v0s[i], 12)
+        np.testing.assert_allclose(np.asarray(ab)[i], np.asarray(a1),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(bb)[i], np.asarray(b1),
+                                   atol=1e-10)
+        assert abs(float(nb[i]) - float(n1)) < 1e-10
