@@ -208,6 +208,11 @@ def build_gf_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
     # aux store for off-diagonal reconstruction
     aux = GFMatrix()
 
+    # Lanczos channels accumulate ACROSS states per target sector and flush
+    # as one batched launch each (same design as the joint-mode
+    # _GfHarvester); items: (store, key, phi, wstate, sgn, ei)
+    pending: Dict[int, list] = {}
+
     for istate, st in enumerate(sl):
         wstate = weights[istate]
         isec = st.sector
@@ -241,37 +246,33 @@ def build_gf_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
                     combos += [(a, b) for a in range(norb)
                                for b in range(a + 1, norb)
                                if a in phis and b in phis]
-                # group same-target-sector Lanczos channels into one
-                # batched launch (ed_total_ud=True: every orbital's c/cdg
-                # lands in the same sector)
-                lanc_groups: Dict[int, list] = {}
+                # Lanczos channels queue grouped by target sector
+                # (ed_total_ud=True: every orbital's c/cdg lands in the
+                # same sector) and flush as batched launches below
                 for (a, b) in combos:
                     phi = phis[a] if a == b else (phis[a] + phis[b])
                     jsec = jsec_of[a]
                     dense_eig = dense_eig_cache(jsec)
+                    key = ("g", ispin, a, b) if a == b \
+                        else ("aux", ispin, a, b)
+                    store = gf if a == b else aux
                     if dense_eig is not None:
                         w, en = _moments_from_phi(None, phi, 2,
                                                   dense_eig=dense_eig)
                         if len(w):
-                            poles = sgn_kind * (en - ei)
-                            key = ("g", ispin, a, b) if a == b \
-                                else ("aux", ispin, a, b)
-                            (gf if a == b else aux).add(key, wstate * w,
-                                                        poles)
+                            store.add(key, wstate * w, sgn_kind * (en - ei))
                     else:
-                        lanc_groups.setdefault(jsec, []).append((a, b, phi))
-                for jsec, items in lanc_groups.items():
-                    tsec = table.sector(jsec)
-                    mv = matvec_builder(tsec)
-                    m = min(cfg.lanc_ngfiter, max(2, tsec.dim))
-                    res = _moments_from_phis(mv, [p for _, _, p in items], m)
-                    for (a, b, _), (w, en) in zip(items, res):
-                        if len(w) == 0:
-                            continue
-                        poles = sgn_kind * (en - ei)
-                        key = ("g", ispin, a, b) if a == b \
-                            else ("aux", ispin, a, b)
-                        (gf if a == b else aux).add(key, wstate * w, poles)
+                        pending.setdefault(jsec, []).append(
+                            (store, key, phi, wstate, sgn_kind, ei))
+
+    for jsec, items in pending.items():
+        tsec = table.sector(jsec)
+        mv = matvec_builder(tsec)
+        m = min(cfg.lanc_ngfiter, max(2, tsec.dim))
+        res = _moments_from_phis(mv, [p for (_, _, p, _, _, _) in items], m)
+        for (store, key, _, wstate, sgn_kind, ei), (w, en) in zip(items, res):
+            if len(w):
+                store.add(key, wstate * w, sgn_kind * (en - ei))
 
     # phonon displacement propagator channel (reference
     # lanc_build_gf_phonon_main, ED_GF_NORMAL.f90:278-345): X = b + b†
