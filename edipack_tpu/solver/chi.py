@@ -37,26 +37,38 @@ def build_chi_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
     norb = cfg.norb
     ns = table.dims.ns
 
+    # Lanczos chi channels queue per target sector and flush as batched
+    # launches (same design as the GF builders); items: (phi_flat, cb)
+    pending = {}
+
+    def _enqueue(jsec, phi, cb):
+        de = dense_eig_cache(jsec)
+        if de is not None:
+            wts, en = _moments_from_phi(None, phi.reshape(-1), 2,
+                                        dense_eig=de)
+            cb(wts, en)
+        else:
+            pending.setdefault(jsec, []).append((phi.reshape(-1), cb))
+
     for ist, st in enumerate(sl):
         sec = table.sector(st.sector)
         v3 = jnp.reshape(st.vector, (sec.dim_ph, sec.dim_dw, sec.dim_up))
         ei = st.energy
         occ_u = occupations(sec.ups, ns).astype(float)[:, :norb]
         occ_d = occupations(sec.dws, ns).astype(float)[:, :norb]
-        dense_eig = dense_eig_cache(st.sector)
-        mv = None if dense_eig is not None else matvec_builder(sec)
-        m = min(cfg.lanc_ngfiter, max(2, sec.dim))
 
-        def hermitian_channel(key, phi):
-            wts, en = _moments_from_phi(mv, phi.reshape(-1), m,
-                                        dense_eig=dense_eig)
-            if len(wts) == 0:
-                return
-            de = en - ei
-            # χ(z) = Σ w [1/(z - dE) - 1/(z + dE)]; at dE=0 the two poles
-            # cancel for z≠0 and give the Curie (static) part — keep both.
-            chi.add(key, np.concatenate([w[ist] * wts, -w[ist] * wts]),
-                    np.concatenate([de, -de]))
+        def hermitian_channel(key, phi, _w=None, _ei=None, _isec=None):
+            _w, _ei = w[ist], ei
+
+            def cb(wts, en, _w=_w, _ei=_ei, key=key):
+                if len(wts) == 0:
+                    return
+                de = en - _ei
+                # χ(z) = Σ w [1/(z - dE) - 1/(z + dE)]; at dE=0 the two
+                # poles cancel for z≠0 and give the Curie (static) part.
+                chi.add(key, np.concatenate([_w * wts, -_w * wts]),
+                        np.concatenate([de, -de]))
+            _enqueue(st.sector, phi, cb)
 
         if cfg.chispin_flag:
             for a in range(norb):
@@ -94,10 +106,10 @@ def build_chi_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
                     m1 = spin_axis_op(sec.ups, isec_mid.ups, ns, "c", a, 2)
                     m2 = spin_axis_op(isec_mid.dws, tsec.dws, ns, "c", a, 1)
                     phi = m2.apply(m1.apply(v3))
-                    wts, en = _moments_from_phi(mv_t, phi.reshape(-1), mt,
-                                                dense_eig=de_t)
-                    if len(wts):
-                        chi.add(("pair", a, a), w[ist] * wts, en - ei)
+                    _enqueue(jsec2, phi,
+                             lambda wts, en, _w=w[ist], _ei=ei, a=a:
+                             chi.add(("pair", a, a), _w * wts, en - _ei)
+                             if len(wts) else None)
                 # "greater" c†_a↓ c†_a↑ -> poles -dE (:145-155)
                 ksec = table.cdg_sector(st.sector, 0, iud)
                 ksec2 = table.cdg_sector(ksec, 1, iud) if ksec is not None else None
@@ -110,10 +122,10 @@ def build_chi_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
                     m1 = spin_axis_op(sec.ups, isec_mid.ups, ns, "cdg", a, 2)
                     m2 = spin_axis_op(isec_mid.dws, tsec.dws, ns, "cdg", a, 1)
                     phi = m2.apply(m1.apply(v3))
-                    wts, en = _moments_from_phi(mv_t, phi.reshape(-1), mt,
-                                                dense_eig=de_t)
-                    if len(wts):
-                        chi.add(("pair", a, a), w[ist] * wts, -(en - ei))
+                    _enqueue(ksec2, phi,
+                             lambda wts, en, _w=w[ist], _ei=ei, a=a:
+                             chi.add(("pair", a, a), _w * wts, -(en - _ei))
+                             if len(wts) else None)
 
         if cfg.chiexct_flag and norb > 1 and cfg.ed_total_ud:
             # exciton susceptibilities (ED_CHI_EXCT.f90): for a<b
@@ -147,11 +159,12 @@ def build_chi_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
                         phi_l = bilinear_within(a, b, 1.0, s_dw)
                         phi_g = bilinear_within(b, a, 1.0, s_dw)
                         for phi, sgn in ((phi_l, +1), (phi_g, -1)):
-                            wts, en = _moments_from_phi(
-                                mv, phi.reshape(-1), m, dense_eig=dense_eig)
-                            if len(wts):
-                                chi.add((key, a, b), w[ist] * wts,
-                                        sgn * (en - ei))
+                            _enqueue(st.sector, phi,
+                                     lambda wts, en, _w=w[ist], _ei=ei,
+                                     key=key, a=a, b=b, sgn=sgn:
+                                     chi.add((key, a, b), _w * wts,
+                                             sgn * (en - _ei))
+                                     if len(wts) else None)
                     # spin-flip (triplet Tx/Ty-like): c†_{a,dw} c_{b,up}
                     ks = table.c_sector(st.sector, 0)
                     js = table.cdg_sector(ks, 1) if ks is not None else None
@@ -161,13 +174,11 @@ def build_chi_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
                         m1 = spin_axis_op(sec.ups, ksec_mid.ups, ns, "c", b, 2)
                         m2 = spin_axis_op(ksec_mid.dws, tsec.dws, ns, "cdg", a, 1)
                         phi = m2.apply(m1.apply(v3))
-                        de_t = dense_eig_cache(js)
-                        mv_t = None if de_t is not None else matvec_builder(tsec)
-                        mt = min(cfg.lanc_ngfiter, max(2, tsec.dim))
-                        wts, en = _moments_from_phi(mv_t, phi.reshape(-1), mt,
-                                                    dense_eig=de_t)
-                        if len(wts):
-                            chi.add(("exct_t", a, b), w[ist] * wts, en - ei)
+                        _enqueue(js, phi,
+                                 lambda wts, en, _w=w[ist], _ei=ei, a=a, b=b:
+                                 chi.add(("exct_t", a, b), _w * wts,
+                                         en - _ei)
+                                 if len(wts) else None)
                     ks = table.c_sector(st.sector, 1)
                     js = table.cdg_sector(ks, 0) if ks is not None else None
                     if js is not None:
@@ -176,13 +187,20 @@ def build_chi_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
                         m1 = spin_axis_op(sec.dws, ksec_mid.dws, ns, "c", b, 1)
                         m2 = spin_axis_op(ksec_mid.ups, tsec.ups, ns, "cdg", a, 0 + 2)
                         phi = m2.apply(m1.apply(v3))
-                        de_t = dense_eig_cache(js)
-                        mv_t = None if de_t is not None else matvec_builder(tsec)
-                        mt = min(cfg.lanc_ngfiter, max(2, tsec.dim))
-                        wts, en = _moments_from_phi(mv_t, phi.reshape(-1), mt,
-                                                    dense_eig=de_t)
-                        if len(wts):
-                            chi.add(("exct_t", a, b), w[ist] * wts, -(en - ei))
+                        _enqueue(js, phi,
+                                 lambda wts, en, _w=w[ist], _ei=ei, a=a, b=b:
+                                 chi.add(("exct_t", a, b), _w * wts,
+                                         -(en - _ei))
+                                 if len(wts) else None)
+
+    from .greens import _moments_from_phis
+    for jsec, items in pending.items():
+        tsec = table.sector(jsec)
+        mvt = matvec_builder(tsec)
+        mt = min(cfg.lanc_ngfiter, max(2, tsec.dim))
+        res = _moments_from_phis(mvt, [p for p, _ in items], mt)
+        for (_, cb), (wts, en) in zip(items, res):
+            cb(wts, en)
 
     # reconstruct symmetric off-diagonals: χ_ab = (χ_aux - χ_aa - χ_bb)/2
     for kind in ("spin", "dens"):
