@@ -281,17 +281,28 @@ def build_gf_normal(cfg: EDConfig, table: SectorTable, sl: StateList,
         from ..models.normal import _phonon_matrices
         _, x = _phonon_matrices(cfg)
         xj = jnp.asarray(x)
+        ph_pending: Dict[int, list] = {}
         for istate, st in enumerate(sl):
             sec = table.sector(st.sector)
             v3 = jnp.reshape(st.vector, (sec.dim_ph, sec.dim_dw, sec.dim_up))
             phi = jnp.einsum("pq,qdu->pdu", xj, v3)
             dense_eig = dense_eig_cache(st.sector)
-            mv = None if dense_eig is not None else matvec_builder(sec)
-            m = min(cfg.lanc_ngfiter, max(2, sec.dim))
-            wts, en = _moments_from_phi(mv, phi.reshape(-1), m,
-                                        dense_eig=dense_eig)
-            if len(wts):
-                gf.add(("ph",), weights[istate] * wts, en - st.energy)
+            if dense_eig is not None:
+                wts, en = _moments_from_phi(None, phi.reshape(-1), 2,
+                                            dense_eig=dense_eig)
+                if len(wts):
+                    gf.add(("ph",), weights[istate] * wts, en - st.energy)
+            else:
+                ph_pending.setdefault(st.sector, []).append(
+                    (phi.reshape(-1), weights[istate], st.energy))
+        for jsec, items in ph_pending.items():
+            tsec = table.sector(jsec)
+            mv = matvec_builder(tsec)
+            m = min(cfg.lanc_ngfiter, max(2, tsec.dim))
+            res = _moments_from_phis(mv, [p for p, _, _ in items], m)
+            for (_, wstate, e0), (wts, en) in zip(items, res):
+                if len(wts):
+                    gf.add(("ph",), wstate * wts, en - e0)
 
     # off-diagonal reconstruction: G_ab = (aux - G_aa - G_bb)/2
     if offdiag:
