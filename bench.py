@@ -302,25 +302,72 @@ def bench_superc(extra):
 
     K = 20
 
-    def step(v, _):
-        w = mv(v)
-        return w / jnp.linalg.norm(w), None
-    # NOTE: the tunneled TPU backend only supports jitted dispatch — eager
-    # ops (even astype/random) return UNIMPLEMENTED. Build inputs host-side
-    # and keep every device op inside jit.
-    f = jax.jit(lambda v: jnp.abs(
-        jax.lax.scan(step, v, None, length=K)[0][0]))
+    # The tunneled TPU backend supports neither eager dispatch nor host
+    # fetches of complex buffers; closed-over complex device arrays are
+    # fetched for MLIR constant embedding at trace time, so the operator's
+    # operands are passed as explicit jit arguments.
+    import copy
+    pkeys = [k for k in ("cols", "vals", "ph_mat", "ph_x", "eph_diag",
+                         "eph_dense")
+             if getattr(mv, k, None) is not None]
+    params = {k: getattr(mv, k) for k in pkeys}
+
+    def mv_p(p, u):
+        m2 = copy.copy(mv)
+        for k, val in p.items():
+            setattr(m2, k, val)
+        return m2(u)
+
+    def _step(p, u):
+        w = mv_p(p, u)
+        return w / jnp.linalg.norm(w)
+
+    f = jax.jit(lambda p, v: jnp.abs(jax.lax.scan(
+        lambda u, _: (_step(p, u), None), v, None, length=K)[0][0]))
     rng = np.random.default_rng(0)
     from edipack_tpu.ops.matvec import device_put_cplx
     v = device_put_cplx(rng.normal(size=mv.dim)
                         + 1j * rng.normal(size=mv.dim), jnp.complex64)
-    _ = float(f(v))
+    _ = float(f(params, v))
     t0 = time.time()
-    _ = float(f(v))
+    _ = float(f(params, v))
     dt = (time.time() - t0) / K
     extra["superc_c64_nnz_per_s"] = mv.nnz / dt
     print(f"[bench] superc c64 ELL: {dt*1e3:.3f} ms/matvec "
           f"({mv.nnz/dt/1e9:.2f} Gnnz/s, dim={mv.dim}, nnz={mv.nnz})",
+          file=sys.stderr)
+
+    # TPU-native blocked-Kron joint operator (models/joint_kron.py)
+    from edipack_tpu.models.joint_kron import build_joint_kron_op
+    kb = build_joint_kron_op(cfg, sec, hloc, um, bath, dtype=jnp.complex64)
+
+    def kb_params(m):
+        return {"hup": m.hup_b, "hdw": m.hdw_b, "diag": m.diag_b,
+                "g": [(g[3], g[4], g[5], g[6]) for g in m.gathers]}
+
+    def kb_with(m, p):
+        m2 = copy.copy(m)
+        m2.hup_b, m2.hdw_b, m2.diag_b = p["hup"], p["hdw"], p["diag"]
+        m2.gathers = [(g[0], g[1], g[2]) + tuple(pg)
+                      for g, pg in zip(m.gathers, p["g"])]
+        return m2
+
+    def kstep(p, u):
+        w = kb_with(kb, p)(u)
+        return w / jnp.linalg.norm(w)
+
+    fk = jax.jit(lambda p, v: jnp.abs(jax.lax.scan(
+        lambda u, _: (kstep(p, u), None), v, None, length=K)[0][0]))
+    pk = kb_params(kb)
+    vk = device_put_cplx(rng.normal(size=kb.dim)
+                         + 1j * rng.normal(size=kb.dim), jnp.complex64)
+    _ = float(fk(pk, vk))
+    t0 = time.time()
+    _ = float(fk(pk, vk))
+    dtk = (time.time() - t0) / K
+    extra["superc_kron_c64_nnz_per_s"] = kb.nnz / dtk
+    print(f"[bench] superc c64 blocked-Kron: {dtk*1e3:.3f} ms/matvec "
+          f"({kb.nnz/dtk/1e9:.2f} Gnnz/s, dim={kb.dim}, nnz={kb.nnz})",
           file=sys.stderr)
 
 
@@ -351,18 +398,35 @@ def bench_nonsu2(extra):
 
     K = 20
 
-    def step(v, _):
-        w = mv(v)
-        return w / jnp.linalg.norm(w), None
-    f = jax.jit(lambda v: jnp.abs(
-        jax.lax.scan(step, v, None, length=K)[0][0]))
+    # The tunneled TPU backend supports neither eager dispatch nor host
+    # fetches of complex buffers; closed-over complex device arrays are
+    # fetched for MLIR constant embedding at trace time, so the operator's
+    # operands are passed as explicit jit arguments.
+    import copy
+    pkeys = [k for k in ("cols", "vals", "ph_mat", "ph_x", "eph_diag",
+                         "eph_dense")
+             if getattr(mv, k, None) is not None]
+    params = {k: getattr(mv, k) for k in pkeys}
+
+    def mv_p(p, u):
+        m2 = copy.copy(mv)
+        for k, val in p.items():
+            setattr(m2, k, val)
+        return m2(u)
+
+    def _step(p, u):
+        w = mv_p(p, u)
+        return w / jnp.linalg.norm(w)
+
+    f = jax.jit(lambda p, v: jnp.abs(jax.lax.scan(
+        lambda u, _: (_step(p, u), None), v, None, length=K)[0][0]))
     rng = np.random.default_rng(0)
     from edipack_tpu.ops.matvec import device_put_cplx
     v = device_put_cplx(rng.normal(size=mv.dim)
                         + 1j * rng.normal(size=mv.dim), jnp.complex64)
-    _ = float(f(v))
+    _ = float(f(params, v))
     t0 = time.time()
-    _ = float(f(v))
+    _ = float(f(params, v))
     dt = (time.time() - t0) / K
     extra["nonsu2_c64_nnz_per_s"] = mv.nnz / dt
     print(f"[bench] nonsu2 c64 ELL: {dt*1e3:.3f} ms/matvec "

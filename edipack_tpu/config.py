@@ -185,6 +185,9 @@ class EDConfig:
     ed_file_suffix: str = ""        # per-site suffix (ineq extension)
     ed_output_dir: str = "."        # where .ed text outputs are written
     ed_write_files: bool = False    # write observables_*.ed etc. text files
+    ed_joint_kron: str = "auto"     # superc/nonsu2 matvec: blocked-Kron
+    #                                 operator ("auto": on TPU single-device;
+    #                                 "always"; "never" = sorted padded-ELL)
     ed_profile_dir: str = ""        # write a JAX profiler trace of each
     #                                 solve here (view with tensorboard /
     #                                 xprof; EDIPACK_TPU_PROFILE_DIR env

@@ -196,16 +196,20 @@ def _jxjp_terms(acc: JointTermAccumulator, um: Umatrix, norb: int) -> None:
                                  um.jp[a, b])
 
 
-def build_joint_sector_op(cfg: EDConfig, sec: Sector, hloc: np.ndarray,
-                          um: Umatrix, bath: DmftBath,
-                          hloc_anomalous: Optional[np.ndarray] = None
-                          ) -> JointSectorOp:
-    """Assemble the joint-sector H for superc or nonsu2."""
+def _enumerate_joint_terms(cfg: EDConfig, sec: Sector, hloc: np.ndarray,
+                           um: Umatrix, bath: DmftBath,
+                           hloc_anomalous, acc, eph_acc_factory):
+    """Feed every joint-sector Hamiltonian term into ``acc`` (an object with
+    the JointTermAccumulator interface: .occ/.dim/.states/add_diag/
+    add_opstring).  Layout-agnostic: the accumulator defines the basis
+    ORDER, so the same enumeration serves the sorted COO builder
+    (JointTermAccumulator) and the blocked-Kron builder
+    (models.joint_kron.BlockedTermAccumulator).  Returns the electron-phonon
+    accumulator (from eph_acc_factory) or None."""
     ns = sec.ns
     norb, nbath, nspin = cfg.norb, cfg.nbath, cfg.nspin
     isdw = nspin - 1
     mode = cfg.ed_mode
-    acc = JointTermAccumulator(sec.states, ns)
     hloc = np.asarray(hloc, complex)
     mf = um.mf_hloc.astype(complex)
     if um.sundry and mode == "superc":
@@ -407,21 +411,35 @@ def build_joint_sector_op(cfg: EDConfig, sec: Sector, hloc: np.ndarray,
                 acc.add_opstring([("c", i, s), ("cdg", lb, s)], v)
                 acc.add_opstring([("c", lb, s), ("cdg", i, s)], v)
 
-    rows, cols, vals = acc.coo()
-    op = JointSectorOp(sector=sec, dim_el=acc.dim, rows=rows, cols=cols,
-                       vals=vals, diag=acc.diag)
-
-    # ---- phonons -------------------------------------------------------
+    # ---- phonons (terms only; grids/couplings attached by the caller) --
+    acc2 = None
     if cfg.nph > 0:
         g = g_ph_matrix(cfg)
-        op.ph_mat, op.ph_x = _phonon_matrices(cfg)
-        gd = np.diag(g)
-        op.eph_diag = (o_up_all[:, :norb] + o_dw_all[:, :norb]) @ gd
-        acc2 = JointTermAccumulator(sec.states, ns)
+        acc.eph_diag = (o_up_all[:, :norb] + o_dw_all[:, :norb]) @ np.diag(g)
+        acc2 = eph_acc_factory()
         for s in (SPIN_UP, SPIN_DW):
             for i in range(norb):
                 for j in range(norb):
                     if i != j and g[i, j] != 0:
                         acc2.add_opstring([("c", j, s), ("cdg", i, s)], g[i, j])
+    return acc2
+
+
+def build_joint_sector_op(cfg: EDConfig, sec: Sector, hloc: np.ndarray,
+                          um: Umatrix, bath: DmftBath,
+                          hloc_anomalous: Optional[np.ndarray] = None
+                          ) -> JointSectorOp:
+    """Assemble the joint-sector H for superc or nonsu2 (sorted COO/ELL)."""
+    ns = sec.ns
+    acc = JointTermAccumulator(sec.states, ns)
+    acc2 = _enumerate_joint_terms(cfg, sec, hloc, um, bath, hloc_anomalous,
+                                  acc, lambda: JointTermAccumulator(
+                                      sec.states, ns))
+    rows, cols, vals = acc.coo()
+    op = JointSectorOp(sector=sec, dim_el=acc.dim, rows=rows, cols=cols,
+                       vals=vals, diag=acc.diag)
+    if cfg.nph > 0:
+        op.ph_mat, op.ph_x = _phonon_matrices(cfg)
+        op.eph_diag = acc.eph_diag
         op.eph_rows, op.eph_cols, op.eph_vals = acc2.coo()
     return op

@@ -132,18 +132,24 @@ def _as_dev(v, dtype):
 def _sweep_body(matvec, reorth_every):
     def body(carry, i):
         V, alphas, betas, v, beta_prev, v_prev = carry
+        store = V.dtype
         w = matvec(v)
         alpha = jnp.vdot(v, w).real
         w = w - alpha * v - beta_prev * v_prev
-        # full reorthogonalization against the stored basis (two passes)
+        # full reorthogonalization against the stored basis (two passes).
+        # V may be stored at reduced precision (huge sectors, see
+        # lanczos_sweep) — the projection matmuls then run at the storage
+        # dtype so no full-basis upcast copy is materialized; the ~1e-7
+        # orthogonality floor is at the mixed-matvec noise level and the
+        # exact Rayleigh-Ritz refine recovers full precision.
         m = V.shape[0]
-        mask = (jnp.arange(m) <= i).astype(w.dtype)
+        mask = (jnp.arange(m) <= i).astype(store)
         for _ in range(2):
-            proj = jnp.conj(V) @ w
-            w = w - (proj * mask) @ V
+            proj = jnp.conj(V) @ w.astype(store)
+            w = w - ((proj * mask) @ V).astype(w.dtype)
         beta = jnp.linalg.norm(w)
         v_next = jnp.where(beta > 0, w / jnp.where(beta > 0, beta, 1.0), 0.0 * w)
-        V = V.at[i + 1].set(v_next)
+        V = V.at[i + 1].set(v_next.astype(store))
         alphas = alphas.at[i].set(alpha)
         betas = betas.at[i].set(beta.real.astype(alphas.dtype))
         return (V, alphas, betas, v_next, beta.astype(v.dtype), v), None
@@ -174,7 +180,16 @@ def lanczos_sweep(matvec, v0, m: int, locked=None):
         v0 = v0 - (jnp.conj(locked) @ v0) @ locked
         v0 = v0 / jnp.linalg.norm(v0)
 
-    V = jnp.zeros((m + 1, dim), dtype).at[0].set(v0)
+    # huge sectors: the (m+1, dim) Krylov basis at f64 (~5GB at dim 1.2e7,
+    # m=48) plus the scan's carry copy exceeds one chip's HBM; store the
+    # basis at single precision there — reorthogonalization floors at the
+    # f32 level, matching the mixed-matvec noise the exact refine already
+    # absorbs.
+    store = dtype
+    if dim >= (1 << 20):
+        store = jnp.complex64 if jnp.issubdtype(dtype, jnp.complexfloating) \
+            else jnp.float32
+    V = jnp.zeros((m + 1, dim), store).at[0].set(v0.astype(store))
     alphas = jnp.zeros(m, rdtype)
     betas = jnp.zeros(m, rdtype)
     carry = (V, alphas, betas, v0, jnp.asarray(0.0, dtype), jnp.zeros(dim, dtype))
@@ -301,10 +316,11 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
                 break
         if len(locked_vals) >= nev:
             break
-        # restart from the first unconverged Ritz vector
+        # restart from the first unconverged Ritz vector (cast back to the
+        # working dtype — the stored basis may be reduced precision)
         j0 = newly_converged
         if j0 < n_take:
-            start = _j_row(ritz, j0)
+            start = _j_astype(_j_row(ritz, j0), dtype)
         else:
             key = _jitted(jax.random.fold_in)(key, restart + 100)
             start = _j_randn_t(key, dim, dtype)
@@ -374,6 +390,12 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
 
     ``deflate``: already-polished lower eigenvectors to project out.
     Returns (value, vector)."""
+    # the polish runs on the EXACT matvec: always carry 64-bit vectors even
+    # when the sweep handed over a reduced-precision (huge-dim) Ritz vector
+    if vec.dtype == jnp.float32:
+        vec = _j_astype(vec, jnp.float64)
+    elif vec.dtype == jnp.complex64:
+        vec = _j_astype(vec, jnp.complex128)
     dtype = vec.dtype
     m_ref = min(m_ref, dim - 1) or 1
     mvj = _jitted(matvec)

@@ -544,9 +544,23 @@ def solve_impurity_joint(cfg: EDConfig, hloc, um: Umatrix, bath: DmftBath,
         from ..parallel.mesh import make_mesh
         _mesh = make_mesh(sec_axis=1)
 
+    platform = _jax.devices()[0].platform
+    use_kron = cfg.ed_joint_kron == "always" or (
+        cfg.ed_joint_kron == "auto" and platform in ("tpu", "axon")
+        and _mesh is None)
+
     def matvec_builder(sec: Sector) -> JointMatvec:
         if sec.index not in mv_cache:
-            if not cfg.ed_sparse_h:
+            if use_kron and sec.qn[0] in ("sz", "nt"):
+                # TPU-native blocked-Kron operator: per-(Nup,Ndw) product
+                # blocks — number-conserving terms as dense MXU factor
+                # matmuls, pairing/spin-flip as per-spin axis gathers
+                # (models/joint_kron.py; replaces the random-access ELL
+                # gather the TPU executes ~1000x below its matmul rate)
+                from ..models.joint_kron import build_joint_kron_op
+                mv = build_joint_kron_op(cfg, sec, hloc, um, bath,
+                                         hloc_anomalous=hloc_anomalous)
+            elif not cfg.ed_sparse_h:
                 # matrix-free COO application (reference ed_sparse_H=F,
                 # ED_*/direct/ trees): O(nnz) memory, no padded ELL
                 from ..ops.matvec import JointMatvecDirect

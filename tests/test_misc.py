@@ -92,3 +92,23 @@ def test_lanczos_tridiag_batch_matches_single():
         np.testing.assert_allclose(np.asarray(bb)[i], np.asarray(b1),
                                    atol=1e-10)
         assert abs(float(nb[i]) - float(n1)) < 1e-10
+
+
+def test_eigsh_huge_dim_f32_basis_storage():
+    """dim >= 2^20 stores the Krylov basis in f32 (HBM fit for reference-
+    scale sectors); eigenvalues stay accurate via the f64 coefficients +
+    exact Rayleigh-Ritz polish."""
+    import numpy as np
+    import jax.numpy as jnp
+    from edipack_tpu.ops.lanczos import eigsh_lowest
+    n = (1 << 20) + 64
+    rng = np.random.default_rng(7)
+    d = jnp.asarray(np.sort(rng.uniform(1.0, 5.0, size=n)))
+    d = d.at[0].set(0.123456789)       # isolated lowest eigenvalue
+
+    def mv(v):
+        return d * v
+    vals, vecs = eigsh_lowest(mv, n, 1, dtype=jnp.float64, m=24, tol=1e-9,
+                              max_restarts=6, refine_matvec=mv)
+    assert abs(float(vals[0]) - 0.123456789) < 1e-8
+    assert vecs.dtype == jnp.float32   # reduced-precision basis storage
