@@ -370,6 +370,34 @@ def bench_superc(extra):
           f"({kb.nnz/dtk/1e9:.2f} Gnnz/s, dim={kb.dim}, nnz={kb.nnz})",
           file=sys.stderr)
 
+    # reference-scale Sz=0 sector (ns=12, dim C(24,12)=2.7M): blocked-Kron
+    # only — the ELL gather path would need minutes per matvec here
+    cfg2 = default_config(norb=2, nbath=5, nspin=1, ed_mode="superc",
+                          uloc=[-2.0, -2.0], ust=-1.0, jh=0.25, jx=0.25,
+                          jp=0.25, deltasc=0.02)
+    um2 = build_umatrix(cfg2)
+    bath2 = init_bath(cfg2)
+    table2 = SectorTable(cfg2)
+    sec2 = table2.by_qn(("sz", 0))
+    t0 = time.time()
+    kb2 = build_joint_kron_op(cfg2, sec2, hloc, um2, bath2,
+                              dtype=jnp.complex64)
+    t_build2 = time.time() - t0
+    fk2 = jax.jit(lambda p, v: jnp.abs(jax.lax.scan(
+        lambda u, _: (kb_with(kb2, p)(u) / jnp.linalg.norm(
+            kb_with(kb2, p)(u)), None), v, None, length=K)[0][0]))
+    pk2 = kb_params(kb2)
+    vk2 = device_put_cplx(rng.normal(size=kb2.dim)
+                          + 1j * rng.normal(size=kb2.dim), jnp.complex64)
+    _ = float(fk2(pk2, vk2))
+    t0 = time.time()
+    _ = float(fk2(pk2, vk2))
+    dtk2 = (time.time() - t0) / K
+    extra["superc_kron_big_nnz_per_s"] = kb2.nnz / dtk2
+    print(f"[bench] superc c64 blocked-Kron (dim {kb2.dim}): "
+          f"{dtk2*1e3:.3f} ms/matvec ({kb2.nnz/dtk2/1e9:.2f} Gnnz/s, "
+          f"nnz={kb2.nnz}, build {t_build2:.1f}s)", file=sys.stderr)
+
 
 def bench_nonsu2(extra):
     """Benchmark config 4: nonsu2 complex blocks (SOC + in-plane field),
@@ -431,6 +459,36 @@ def bench_nonsu2(extra):
     extra["nonsu2_c64_nnz_per_s"] = mv.nnz / dt
     print(f"[bench] nonsu2 c64 ELL: {dt*1e3:.3f} ms/matvec "
           f"({mv.nnz/dt/1e9:.2f} Gnnz/s, dim={mv.dim}, nnz={mv.nnz})",
+          file=sys.stderr)
+
+    from edipack_tpu.models.joint_kron import build_joint_kron_op
+    import copy
+    kb = build_joint_kron_op(cfg, sec, hloc, um, bath, dtype=jnp.complex64)
+
+    def kb_params(m):
+        return {"hup": m.hup_b, "hdw": m.hdw_b, "diag": m.diag_b,
+                "g": [(g[3], g[4], g[5], g[6]) for g in m.gathers]}
+
+    def kb_with(m, p):
+        m2 = copy.copy(m)
+        m2.hup_b, m2.hdw_b, m2.diag_b = p["hup"], p["hdw"], p["diag"]
+        m2.gathers = [(g[0], g[1], g[2]) + tuple(pg)
+                      for g, pg in zip(m.gathers, p["g"])]
+        return m2
+
+    fk = jax.jit(lambda p, v: jnp.abs(jax.lax.scan(
+        lambda u, _: (kb_with(kb, p)(u) / jnp.linalg.norm(
+            kb_with(kb, p)(u)), None), v, None, length=K)[0][0]))
+    pk = kb_params(kb)
+    vk = device_put_cplx(rng.normal(size=kb.dim)
+                         + 1j * rng.normal(size=kb.dim), jnp.complex64)
+    _ = float(fk(pk, vk))
+    t0 = time.time()
+    _ = float(fk(pk, vk))
+    dtk = (time.time() - t0) / K
+    extra["nonsu2_kron_c64_nnz_per_s"] = kb.nnz / dtk
+    print(f"[bench] nonsu2 c64 blocked-Kron: {dtk*1e3:.3f} ms/matvec "
+          f"({kb.nnz/dtk/1e9:.2f} Gnnz/s, dim={kb.dim}, nnz={kb.nnz})",
           file=sys.stderr)
 
 

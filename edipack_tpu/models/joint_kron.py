@@ -228,8 +228,11 @@ class JointKronMatvec:
         self.dim = self.dim_el * self.dim_ph
         self.dtype = dtype
         put = lambda x: device_put_cplx(np.asarray(x), dtype)
-        rdt = jnp.zeros(0, dtype).real.dtype
-        putr = lambda x: jax.device_put(jnp.asarray(np.asarray(x, float), rdt))
+        # static real-dtype mapping (jnp.zeros(0,.).real would dispatch
+        # eagerly — rejected by the tunneled TPU transport)
+        rdt = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+        putr = lambda x: jax.device_put(
+            jnp.asarray(np.asarray(x, np.dtype(rdt))))
 
         self._shapes = [(b.ddw, b.dup) for b in self.blocks]
         self._offsets = [b.offset for b in self.blocks]
