@@ -199,6 +199,25 @@ def lanczos_sweep(matvec, v0, m: int, locked=None):
     return alphas, betas, V
 
 
+def _dot64(a, b, chunk: int = 2048):
+    """<a|b> of f32/c64 vectors with f64-accumulated chunk sums.
+
+    TPU f64 elementwise ops are VPU-emulated (~50x f32); a full-f64 vdot on
+    a 1e7 vector costs ~45 ms.  Instead: f32 products, f32 row sums over
+    ``chunk``-sized tiles (XLA lane-tree reduction, error ~eps32*sqrt(chunk)
+    per tile), then an f64 sum of the ~n/chunk tile results — total relative
+    error ~1e-7, at f32 memory-bound speed."""
+    p = jnp.conj(a) * b
+    n = p.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        p = jnp.concatenate([p, jnp.zeros((pad,), p.dtype)])
+    s = jnp.sum(p.reshape(-1, chunk), axis=1)
+    acc = (jnp.complex128 if jnp.issubdtype(p.dtype, jnp.complexfloating)
+           else jnp.float64)
+    return jnp.sum(s.astype(acc))
+
+
 @partial(jax.jit, static_argnums=(0, 2))
 def lanczos_tridiag(matvec, v0, m: int):
     """Storage-free m-step tridiagonalization (GF moments; no reorth).
@@ -224,6 +243,119 @@ def lanczos_tridiag(matvec, v0, m: int):
     (_, _, _), (alphas, betas) = jax.lax.scan(
         body, (v, jnp.zeros(dim, dtype), jnp.asarray(0.0, dtype)), jnp.arange(m))
     return alphas, betas[:-1], norm0
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def lanczos_tridiag_ds(op, v0, m: int):
+    """GF tridiagonalization on the double-single pair matvec.
+
+    The recurrence vectors live in f32 (c64 for complex) — TPU-native; the
+    f64 variant's elementwise body alone costs ~135 ms per iteration on a
+    1.2e7 sector (VPU-emulated f64) vs ~3 ms at f32 — while every inner
+    product is f64-chunk-accumulated (:func:`_dot64`), keeping the
+    tridiagonal coefficients at the ~1e-7 noise floor of the DS matvec
+    itself.  ``op`` must expose ``pair(v32) -> (main, corr)`` with
+    H v = main + corr (ops.pallas_fused.MixedFusedKron,
+    ops.matvec.MixedKronMatvec).  Same contract as :func:`lanczos_tridiag`:
+    returns (alphas[m] f64, betas[m-1] f64, norm0 f64)."""
+    cplx = jnp.issubdtype(v0.dtype, jnp.complexfloating)
+    store = jnp.complex64 if cplx else jnp.float32
+    rone = jnp.float32
+    v0 = v0.astype(store)
+    norm0 = jnp.sqrt(_dot64(v0, v0).real)
+    v = v0 * jnp.where(norm0 > 0, 1.0 / jnp.where(norm0 > 0, norm0, 1.0),
+                       0.0).astype(rone)
+
+    def body(carry, i):
+        v, v_prev, beta_prev = carry          # v f32/c64; beta_prev f64
+        main, corr = op.pair(v)
+        alpha = (_dot64(v, main) + _dot64(v, corr)).real
+        w = (main + corr) - alpha.astype(rone) * v \
+            - beta_prev.astype(rone) * v_prev
+        beta = jnp.sqrt(_dot64(w, w).real)
+        v_next = w * jnp.where(
+            beta > 0, 1.0 / jnp.where(beta > 0, beta, 1.0), 0.0).astype(rone)
+        return (v_next, v, beta), (alpha, beta)
+
+    (_, _, _), (alphas, betas) = jax.lax.scan(
+        body, (v, jnp.zeros_like(v), jnp.asarray(0.0, jnp.float64)),
+        jnp.arange(m))
+    return alphas, betas[:-1], norm0
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def lanczos_tridiag_ds_batch(op, v0s, m: int):
+    """vmapped :func:`lanczos_tridiag_ds` (B same-sector GF chains, one
+    launch).  Returns (alphas (B,m), betas (B,m-1), norm0s (B,))."""
+    return jax.vmap(lambda v: lanczos_tridiag_ds(op, v, m))(v0s)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def lanczos_sweep_ds(op, v0, m: int, locked=None):
+    """Eigensolver Lanczos sweep on the double-single pair matvec: f32
+    Krylov basis, full two-pass reorthogonalization with HIGHEST-precision
+    thin matmuls (TPU DEFAULT matmul precision is 1-pass bf16 — useless for
+    orthogonality), f64-chunk-accumulated recurrence scalars.  ~50x the
+    emulated-f64 sweep rate on TPU; orthogonality floors at the DS matvec
+    noise (~1e-7), which the exact Rayleigh-Ritz polish absorbs.
+    Same contract as :func:`lanczos_sweep` (V returned f32)."""
+    cplx = jnp.issubdtype(v0.dtype, jnp.complexfloating)
+    store = jnp.complex64 if cplx else jnp.float32
+    rone = jnp.float32
+    hp = jax.lax.Precision.HIGHEST
+    dim = v0.shape[0]
+    v0 = v0.astype(store)
+    have_locked = locked is not None and locked.shape[0] > 0
+    if have_locked:
+        locked = locked.astype(store)
+
+    def defl(w):
+        if not have_locked:
+            return w
+        proj = jax.lax.dot_general(jnp.conj(locked), w,
+                                   (((1,), (0,)), ((), ())), precision=hp)
+        return w - jax.lax.dot_general(proj, locked,
+                                       (((0,), (0,)), ((), ())), precision=hp)
+
+    nrm0 = jnp.sqrt(_dot64(v0, v0).real)
+    v0 = v0 * jnp.where(nrm0 > 0, 1.0 / jnp.where(nrm0 > 0, nrm0, 1.0),
+                        0.0).astype(rone)
+    if have_locked:
+        v0 = defl(v0)
+        n2 = jnp.sqrt(_dot64(v0, v0).real)
+        v0 = v0 * jnp.where(n2 > 0, 1.0 / jnp.where(n2 > 0, n2, 1.0),
+                            0.0).astype(rone)
+
+    V = jnp.zeros((m + 1, dim), store).at[0].set(v0)
+    alphas = jnp.zeros(m, jnp.float64)
+    betas = jnp.zeros(m, jnp.float64)
+
+    def body(carry, i):
+        V, alphas, betas, v, beta_prev, v_prev = carry
+        main, corr = op.pair(v)
+        w = defl(main + corr)
+        alpha = _dot64(v, w).real
+        w = w - alpha.astype(rone) * v - beta_prev.astype(rone) * v_prev
+        mask = (jnp.arange(m + 1) <= i).astype(rone)
+        for _ in range(2):
+            proj = jax.lax.dot_general(jnp.conj(V), w,
+                                       (((1,), (0,)), ((), ())), precision=hp)
+            w = w - jax.lax.dot_general(proj * mask, V,
+                                        (((0,), (0,)), ((), ())),
+                                        precision=hp)
+        beta = jnp.sqrt(_dot64(w, w).real)
+        v_next = w * jnp.where(
+            beta > 0, 1.0 / jnp.where(beta > 0, beta, 1.0), 0.0).astype(rone)
+        V = V.at[i + 1].set(v_next)
+        alphas = alphas.at[i].set(alpha)
+        betas = betas.at[i].set(beta)
+        return (V, alphas, betas, v_next, beta, v), None
+
+    carry = (V, alphas, betas, v0, jnp.asarray(0.0, jnp.float64),
+             jnp.zeros_like(v0))
+    carry, _ = jax.lax.scan(body, carry, jnp.arange(m))
+    V, alphas, betas, *_ = carry
+    return alphas, betas, V
 
 
 @partial(jax.jit, static_argnums=(0, 2))
@@ -272,13 +404,17 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
         # so spurious zero-modes of the pad block never enter the Krylov space
         v0 = _jitted(matvec.v0_project, owner=matvec, attr="_edtpu_jit_v0p")(v0)
 
+    use_ds = hasattr(matvec, "pair") and not jnp.issubdtype(
+        dtype, jnp.complexfloating)
+    sweep_fn = lanczos_sweep_ds if use_ds else lanczos_sweep
+
     locked_vecs = []
     locked_vals = []
     start = v0
     for restart in range(max_restarts):
         locked = (_j_stack(locked_vecs) if locked_vecs
-                  else _j_zeros((0, dim), dtype))
-        alphas, betas, V = lanczos_sweep(matvec, start, m, locked)
+                  else _j_zeros((0, dim), jnp.float32 if use_ds else dtype))
+        alphas, betas, V = sweep_fn(matvec, start, m, locked)
         a = np.asarray(alphas)
         b = np.asarray(betas)
         # truncate at breakdown (invariant subspace found)
@@ -317,17 +453,21 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
         if len(locked_vals) >= nev:
             break
         # restart from the first unconverged Ritz vector (cast back to the
-        # working dtype — the stored basis may be reduced precision)
+        # working dtype — the stored basis may be reduced precision; the DS
+        # sweep consumes f32 directly, so skip the f64 round-trip there)
         j0 = newly_converged
         if j0 < n_take:
-            start = _j_astype(_j_row(ritz, j0), dtype)
+            start = _j_row(ritz, j0) if use_ds \
+                else _j_astype(_j_row(ritz, j0), dtype)
         else:
             key = _jitted(jax.random.fold_in)(key, restart + 100)
             start = _j_randn_t(key, dim, dtype)
             if hasattr(matvec, "v0_project"):
                 start = _jitted(matvec.v0_project, owner=matvec,
                                 attr="_edtpu_jit_v0p")(start)
-        start = _j_normalize_or(start, v0)
+        start = _j_normalize_or(
+            start, v0 if start.dtype == v0.dtype
+            else _j_astype(v0, start.dtype))
     else:
         if len(locked_vals) < nev:
             # accept best available Ritz approximations
@@ -358,7 +498,8 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
         pol_vals, pol_vecs = [], []
         for i in range(vecs.shape[0]):
             val, vec = _cluster_polish(refine_matvec, _j_row(vecs, i),
-                                       pol_vecs, dim)
+                                       pol_vecs, dim,
+                                       sweep_op=matvec if use_ds else None)
             pol_vals.append(val)
             pol_vecs.append(vec)
         order = np.argsort(pol_vals)
@@ -369,7 +510,7 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
 
 def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
                     max_rounds: int = 12, rtol: float = 1e-11,
-                    max_cluster: int = 8):
+                    max_cluster: int = 8, sweep_op=None):
     """Polish one approximate eigenvector to f64 accuracy with exact
     matvecs, robust to near-degenerate clusters (see caller comment).
 
@@ -389,6 +530,17 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
     only the (<= max_cluster) block vectors cost extra matvecs per round.
 
     ``deflate``: already-polished lower eigenvectors to project out.
+
+    ``sweep_op``: optional double-single pair operator (MixedFusedKron /
+    MixedKronMatvec).  When given, the m_ref-step expansion sweeps run on
+    the fast DS matvec (f32 recurrence) until the exact residual stops
+    halving — the RR extras block and the final Rayleigh quotients always
+    use the exact ``matvec``, so converged values stay f64-accurate; only
+    the *rate* of subspace expansion rides the fast kernel.  On TPU this
+    replaces m_ref emulated-f64 matvecs + recurrences (~6 s/round on a
+    1.2e7 sector) with ~0.3 s/round, finishing with exact sweeps only for
+    the last ~1-2 rounds.
+
     Returns (value, vector)."""
     # the polish runs on the EXACT matvec: always carry 64-bit vectors even
     # when the sweep handed over a reduced-precision (huge-dim) Ritz vector
@@ -403,10 +555,15 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
     val = float(_j_vdot_real(vec, mvj(vec)))
     best = (np.inf, val, vec)
     start = vec
+    ds_active = sweep_op is not None
+    prev_resid = np.inf
     for _round in range(max_rounds):
         lk = (_j_stack(deflate) if deflate
               else _j_zeros((0, dim), dtype))
-        a2, b2, V2 = lanczos_sweep(matvec, start, m_ref, lk)
+        if ds_active:
+            a2, b2, V2 = lanczos_sweep_ds(sweep_op, start, m_ref, lk)
+        else:
+            a2, b2, V2 = lanczos_sweep(matvec, start, m_ref, lk)
         a2 = np.asarray(a2)
         b2 = np.asarray(b2)
         k_eff = m_ref
@@ -465,6 +622,12 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
             best = (resid, val, vec)
         if resid < rtol * scale:
             break
+        if ds_active and resid > 0.5 * prev_resid:
+            # DS expansion hit its ~1e-6 noise floor — finish the last
+            # rounds on exact sweeps (val error drops quadratically from
+            # here, so 1-2 exact rounds reach rtol)
+            ds_active = False
+        prev_resid = resid
         block = [vec]
         for j in range(1, nw):
             if len(block) >= max_cluster:
@@ -472,7 +635,12 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
             wj = _j_row(W, j)
             block.append(_j_scale(wj, float(_j_norm(wj))))
         start = _j_scale(rvec, resid) if resid > 1e-14 * scale else vec
-    return best[1], best[2]
+    bvec = best[2]
+    if bvec.dtype == jnp.float32:
+        bvec = _j_astype(bvec, jnp.float64)
+    elif bvec.dtype == jnp.complex64:
+        bvec = _j_astype(bvec, jnp.complex128)
+    return best[1], bvec
 
 
 @partial(jax.jit, static_argnums=(1,))

@@ -201,8 +201,10 @@ class MixedKronMatvec:
         self.ops = ops
 
     @staticmethod
-    def kernel(ops, v64):
-        vhi, vlo = _split2(v64)
+    def kernel_pair(ops, vhi, vlo=None):
+        """(main, corr) f32 planes with H v ≈ main + corr.  ``vlo`` carries
+        the input's double-single low part (None for a pure-f32 input — the
+        DS Lanczos recurrences, whose vectors are f32 by construction)."""
         hp = jax.lax.Precision.HIGHEST
         # main terms (f32, HIGHEST matmul accumulation)
         main = ops["d"] * vhi
@@ -210,15 +212,20 @@ class MixedKronMatvec:
         main = main + jnp.einsum("de,peu->pdu", ops["hdw"], vhi, precision=hp)
         # first-order corrections (DEFAULT precision is ample: they are
         # already ~1e-7 relative)
-        corr = ops["d"] * vlo + ops["d_lo"] * vhi
-        corr = corr + vlo @ ops["hup_t"] + vhi @ ops["hup_t_lo"]
-        corr = corr + jnp.einsum("de,peu->pdu", ops["hdw"], vlo)
+        corr = ops["d_lo"] * vhi
+        corr = corr + vhi @ ops["hup_t_lo"]
         corr = corr + jnp.einsum("de,peu->pdu", ops["hdw_lo"], vhi)
+        if vlo is not None:
+            corr = corr + ops["d"] * vlo
+            corr = corr + vlo @ ops["hup_t"]
+            corr = corr + jnp.einsum("de,peu->pdu", ops["hdw"], vlo)
         if "nl_eb" in ops:
             for k in range(ops["nl_eb"].shape[0]):
                 sgn = (ops["nl_sb"][k][None, :, None] *
                        ops["nl_sa"][k][None, None, :])
-                for src, dst in ((vhi, "main"), (vlo, "corr")):
+                srcs = [(vhi, "main")] + ([(vlo, "corr")] if vlo is not None
+                                          else [])
+                for src, dst in srcs:
                     t = jnp.take(src, ops["nl_eb"][k], axis=1)
                     t = jnp.take(t, ops["nl_ua"][k], axis=2) * sgn
                     if dst == "main":
@@ -228,23 +235,42 @@ class MixedKronMatvec:
         elif "nl_a" in ops:
             main = main + jnp.einsum("kde,peu,kuv->pdv", ops["nl_b"], vhi,
                                      ops["nl_a"], precision=hp)
-            corr = corr + jnp.einsum("kde,peu,kuv->pdv", ops["nl_b"], vlo,
-                                     ops["nl_a"])
+            if vlo is not None:
+                corr = corr + jnp.einsum("kde,peu,kuv->pdv", ops["nl_b"],
+                                         vlo, ops["nl_a"])
         if "ph_mat" in ops:
             main = main + jnp.einsum("pq,qdu->pdu", ops["ph_mat"], vhi,
                                      precision=hp)
-            corr = corr + jnp.einsum("pq,qdu->pdu", ops["ph_mat"], vlo)
             corr = corr + jnp.einsum("pq,qdu->pdu", ops["ph_mat_lo"], vhi)
             ev = ops["eph_d"] * vhi + vhi @ ops["eph_up_t"] \
                 + jnp.einsum("de,peu->pdu", ops["eph_dw"], vhi, precision=hp)
-            ev = ev + ops["eph_d"] * vlo + vlo @ ops["eph_up_t"] \
-                + jnp.einsum("de,peu->pdu", ops["eph_dw"], vlo)
+            if vlo is not None:
+                corr = corr + jnp.einsum("pq,qdu->pdu", ops["ph_mat"], vlo)
+                ev = ev + ops["eph_d"] * vlo + vlo @ ops["eph_up_t"] \
+                    + jnp.einsum("de,peu->pdu", ops["eph_dw"], vlo)
             main = main + jnp.einsum("pq,qdu->pdu", ops["ph_x"], ev,
                                      precision=hp)
+        return main, corr
+
+    @staticmethod
+    def kernel(ops, v64):
+        vhi, vlo = _split2(v64)
+        main, corr = MixedKronMatvec.kernel_pair(ops, vhi, vlo)
         return main.astype(jnp.float64) + corr.astype(jnp.float64)
 
     def apply3(self, v):
         return MixedKronMatvec.kernel(self.ops, v)
+
+    def pair(self, v32):
+        """f32 flat vector -> (main, corr) f32 flat planes (DS Lanczos)."""
+        v3 = v32.astype(jnp.float32).reshape(self.shape3)
+        if self._sharding is not None:
+            v3 = jax.lax.with_sharding_constraint(v3, self._sharding)
+        main, corr = MixedKronMatvec.kernel_pair(self.ops, v3)
+        if self._sharding is not None:
+            main = jax.lax.with_sharding_constraint(main, self._sharding)
+            corr = jax.lax.with_sharding_constraint(corr, self._sharding)
+        return main.reshape(-1), corr.reshape(-1)
 
     def __call__(self, v):
         v3 = v.reshape(self.shape3)

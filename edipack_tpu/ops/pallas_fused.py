@@ -586,6 +586,14 @@ class MixedFusedKron:
         y = main.astype(jnp.float64) + corr.astype(jnp.float64)
         return y.reshape(-1)
 
+    def pair(self, v32):
+        """f32 flat internal vector -> (main, corr) f32 flat planes with
+        H v = main + corr — the whole-f32 interface consumed by the DS
+        Lanczos recurrences (ops.lanczos.lanczos_tridiag_ds/_sweep_ds),
+        which avoid every emulated-f64 elementwise pass."""
+        main, corr = self._ds(v32.astype(jnp.float32).reshape(-1, BLK))
+        return main.reshape(-1), corr.reshape(-1)
+
     def v0_project(self, v):
         return v * self._mask.astype(v.dtype)
 

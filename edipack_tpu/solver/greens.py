@@ -124,7 +124,14 @@ def _moments_from_phi(matvec, phi, m: int, dense_eig=None):
         # fused-kernel matvec: Krylov runs in the padded imp-MSB internal
         # layout; the conversion is a norm-preserving permutation+padding
         phi = matvec.to_internal_flat(jnp.asarray(phi))
-    alphas, betas, norm0 = lanczos_tridiag(matvec, phi, m)
+    if hasattr(matvec, "pair"):
+        # double-single operator (TPU): f32 recurrence + f64-accumulated
+        # dots — the f64 variant's emulated elementwise body costs ~27x the
+        # matvec on large sectors (ops.lanczos.lanczos_tridiag_ds)
+        from ..ops.lanczos import lanczos_tridiag_ds
+        alphas, betas, norm0 = lanczos_tridiag_ds(matvec, phi, m)
+    else:
+        alphas, betas, norm0 = lanczos_tridiag(matvec, phi, m)
     a = np.asarray(alphas)
     b = np.asarray(betas)
     n0 = float(norm0)
@@ -166,10 +173,12 @@ def _moments_from_phis(matvec, phis, m: int):
     (ops.lanczos.lanczos_tridiag_batch); the small (B, m) tridiagonals are
     solved host-side. Falls back to per-phi launches for internal-layout
     (fused-kernel) operators, whose pallas matvec does not batch."""
-    from ..ops.lanczos import lanczos_tridiag_batch, _j_stack
+    from ..ops.lanczos import (lanczos_tridiag_batch, lanczos_tridiag_ds_batch,
+                               _j_stack)
     m = max(2, m)
     if len(phis) == 1 or hasattr(matvec, "to_internal_flat"):
         return [_moments_from_phi(matvec, phi, m) for phi in phis]
+    use_ds = hasattr(matvec, "pair")
     dim = int(np.prod(np.asarray(phis[0]).shape))
     # chunk so the batched scan's live vectors (~4 per chain) stay bounded
     max_b = max(2, int((1 << 28) // max(1, 4 * dim * 16)))
@@ -180,7 +189,10 @@ def _moments_from_phis(matvec, phis, m: int):
             out.append(_moments_from_phi(matvec, chunk[0], m))
             continue
         v0s = _j_stack([jnp.asarray(p).reshape(-1) for p in chunk])
-        alphas, betas, norm0s = lanczos_tridiag_batch(matvec, v0s, m)
+        if use_ds:
+            alphas, betas, norm0s = lanczos_tridiag_ds_batch(matvec, v0s, m)
+        else:
+            alphas, betas, norm0s = lanczos_tridiag_batch(matvec, v0s, m)
         a = np.asarray(alphas)
         b = np.asarray(betas)
         n0 = np.asarray(norm0s)
