@@ -107,6 +107,11 @@ def main():
 
 def section_main(section):
     import jax
+    if section == "scaling":
+        # sitecustomize force-registers the axon TPU backend and overrides
+        # the JAX_PLATFORMS env var; pin the virtual-device CPU platform
+        # from Python before any backend use
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     sys.path.insert(0, "/root/repo")
@@ -348,14 +353,19 @@ def bench_scaling(extra):
     ndev = len(jax.devices())
     extra["scaling_ndev"] = ndev
     extra["scaling_host_cores"] = os.cpu_count()
-    cfg = default_config(norb=2, nbath=4, nspin=1, uloc=[2.0, 2.0], ust=1.2,
+    # Ns=12: dim 924^2 = 854k — large enough that the sharded program is
+    # compute-dominated, small enough for the CPU host
+    cfg = default_config(norb=2, nbath=5, nspin=1, uloc=[2.0, 2.0], ust=1.2,
                          jh=0.2, jx=0.15, jp=0.15)
     um = build_umatrix(cfg)
     bath = init_bath(cfg)
     hloc = np.zeros((1, 1, 2, 2))
     table = SectorTable(cfg)
     ns = table.dims.ns
-    sec = table.by_qn(("n", (ns // 2,), (ns // 2,)))
+    # (5,5) of Ns=12: dim_dw = C(12,5) = 792 = 8*99 — divisible by the mesh
+    # (the production solver applies the same divisibility guard, core.py)
+    sec = table.by_qn(("n", (5,), (5,)))
+    assert sec.dim_dw % ndev == 0, (sec.dim_dw, ndev)
     op = build_normal_sector_op(cfg, sec, hloc, um, bath)
     rng = np.random.default_rng(0)
 

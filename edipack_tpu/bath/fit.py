@@ -377,8 +377,17 @@ def chi2_fitgf(cfg: EDConfig, func: np.ndarray, bath_array: np.ndarray,
         return float(v), np.asarray(g, dtype=float)
 
     x0 = np.asarray(p_full)[np.asarray(fit_idx)]
-    method = "CG" if cfg.cg_method == 0 else "L-BFGS-B"
+    # cg_method 0 -> CG (reference fmin_cg); 1 -> the "minimize" backend,
+    # where cg_minimize_ver picks the older Krauth-style quasi-Newton (BFGS,
+    # dense Hessian as the older routine builds) vs the newer
+    # limited-memory variant (reference ED_INPUT_VARS.f90:744)
+    if cfg.cg_method == 0:
+        method = "CG"
+    else:
+        method = "BFGS" if cfg.cg_minimize_ver else "L-BFGS-B"
     if method == "CG":
+        opts = {"maxiter": cfg.cg_niter, "gtol": cfg.cg_ftol * 1e-2}
+    elif method == "BFGS":
         opts = {"maxiter": cfg.cg_niter, "gtol": cfg.cg_ftol * 1e-2}
     else:
         # cg_stop (reference ED_FIT_COMMON stopping conditions): 0 = both

@@ -32,6 +32,23 @@ class EDSolver:
         self.cfg.validate()
         self.hloc = np.zeros((self.cfg.nspin, self.cfg.nspin,
                               self.cfg.norb, self.cfg.norb), dtype=complex)
+        # HLOCfile: "File read the input local H" (reference
+        # ED_INPUT_VARS.f90:765; declared-but-unused in the reference — here
+        # it is honored: a (Nspin*Norb)^2 real matrix, or two such blocks
+        # stacked vertically for Re/Im, loaded unless ed_set_hloc overrides)
+        import os
+        if self.cfg.hlocfile and os.path.exists(self.cfg.hlocfile):
+            ns, no = self.cfg.nspin, self.cfg.norb
+            raw = np.loadtxt(self.cfg.hlocfile, ndmin=2)
+            n = ns * no
+            if raw.shape == (2 * n, n):
+                raw = raw[:n] + 1j * raw[n:]
+            if raw.shape != (n, n):
+                raise ValueError(
+                    f"{self.cfg.hlocfile}: expected ({n},{n}) or (2*{n},{n})"
+                    f" Hloc matrix, got {raw.shape}")
+            self.hloc = np.asarray(raw, complex).reshape(
+                ns, no, ns, no).transpose(0, 2, 1, 3)
         self.hloc_anomalous: Optional[np.ndarray] = None
         self.runtime_terms: List[TwoBodyTerm] = []
         self.result: Optional[SolveResult] = None

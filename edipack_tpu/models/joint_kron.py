@@ -218,37 +218,79 @@ class JointKronMatvec:
 
     def __init__(self, cfg: EDConfig, sec: Sector, acc: BlockedTermAccumulator,
                  eph_acc: Optional[BlockedTermAccumulator] = None,
-                 dtype=jnp.complex128):
+                 dtype=jnp.complex128, mesh=None):
         from .normal import _phonon_matrices
         from ..ops.matvec import device_put_cplx
         self.sector = sec
         self.blocks = acc.blocks
         self.dim_el = acc.dim
         self.dim_ph = sec.dim_ph
-        self.dim = self.dim_el * self.dim_ph
         self.dtype = dtype
-        put = lambda x: device_put_cplx(np.asarray(x), dtype)
+        self.mesh = mesh
+        ndev = 1 if mesh is None else int(mesh.shape["dw"])
+        self._ndw = ndev
+
+        # padded per-block shapes: the dw axis of every block is padded to a
+        # mesh multiple so it can carry a NamedSharding over the 'dw' axis —
+        # the TPU-native form of the reference's superc/nonsu2 row split
+        # (ED_SUPERC/ED_HAMILTONIAN_SUPERC_STORED_HxV.f90:366-432); the
+        # cross-block gathers read the source block through GSPMD-inserted
+        # all-gathers (the MPI_Allgatherv equivalent)
+        self._shapes = [(-(-b.ddw // ndev) * ndev, b.dup)
+                        for b in self.blocks]
+        offs = np.cumsum([0] + [s[0] * s[1] for s in self._shapes])
+        self._offsets = [int(o) for o in offs[:-1]]
+        self.dim_el_pad = int(offs[-1])
+        self.dim = self.dim_el_pad * self.dim_ph
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            row_sh = NamedSharding(mesh, P("dw", None))
+            rep = NamedSharding(mesh, P())
+            self._vsh = NamedSharding(mesh, P(None, "dw", None))
+        else:
+            row_sh = rep = self._vsh = None
+
+        def put(x, sh=None):
+            a = device_put_cplx(np.asarray(x), dtype)
+            return a if sh is None else jax.device_put(a, sh)
         # static real-dtype mapping (jnp.zeros(0,.).real would dispatch
         # eagerly — rejected by the tunneled TPU transport)
         rdt = jnp.float32 if dtype == jnp.complex64 else jnp.float64
-        putr = lambda x: jax.device_put(
-            jnp.asarray(np.asarray(x, np.dtype(rdt))))
+        def putr(x, sh=None):
+            a = jax.device_put(jnp.asarray(np.asarray(x, np.dtype(rdt))))
+            return a if sh is None else jax.device_put(a, sh)
 
-        self._shapes = [(b.ddw, b.dup) for b in self.blocks]
-        self._offsets = [b.offset for b in self.blocks]
+        def pad_rows(a, rows):
+            if a.shape[0] == rows:
+                return np.asarray(a)
+            out = np.zeros((rows,) + a.shape[1:], a.dtype)
+            out[:a.shape[0]] = a
+            return out
+
         # per-block diagonal (real) + dense spin factors (skip zero ones)
         self.diag_b = []
         for b, sh in zip(self.blocks, self._shapes):
-            d = acc.diag[b.offset:b.offset + b.size].reshape(sh)
-            self.diag_b.append(putr(d))
-        self.hup_b = [put(h.T) if np.any(h) else None for h in acc.hup]
-        self.hdw_b = [put(h) if np.any(h) else None for h in acc.hdw]
-        self.gathers = [
-            (g.src, g.dst, complex(g.coeff),
-             jax.device_put(jnp.asarray(g.dw_src)),
-             putr(g.dw_sgn),
-             jax.device_put(jnp.asarray(g.up_src)),
-             putr(g.up_sgn)) for g in acc.gathers]
+            d = acc.diag[b.offset:b.offset + b.size].reshape(b.ddw, b.dup)
+            self.diag_b.append(putr(pad_rows(d, sh[0]), row_sh))
+        self.hup_b = [put(h.T, rep) if np.any(h) else None for h in acc.hup]
+        self.hdw_b = [put(pad_rows(pad_rows(h, s[0]).T, s[0]).T, rep)
+                      if np.any(h) else None
+                      for h, s in zip(acc.hdw, self._shapes)]
+
+        def put_gathers(gs):
+            out = []
+            for g in gs:
+                ddw_p = self._shapes[g.dst][0]
+                out.append((g.src, g.dst, complex(g.coeff),
+                            jax.device_put(jnp.asarray(
+                                pad_rows(g.dw_src, ddw_p))),
+                            putr(pad_rows(g.dw_sgn, ddw_p)),
+                            jax.device_put(jnp.asarray(g.up_src)),
+                            putr(g.up_sgn)))
+            return out
+
+        self.gathers = put_gathers(acc.gathers)
 
         self.has_ph = cfg.nph > 0
         if self.has_ph:
@@ -256,24 +298,30 @@ class JointKronMatvec:
             self.ph_mat = putr(np.real(ph_mat))
             self.ph_x = putr(np.real(ph_x))
             self.eph_diag_b = [
-                putr(acc.eph_diag[b.offset:b.offset + b.size].reshape(sh))
+                putr(pad_rows(acc.eph_diag[b.offset:b.offset + b.size]
+                              .reshape(b.ddw, b.dup), sh[0]), row_sh)
                 for b, sh in zip(self.blocks, self._shapes)]
-            self.eph_up_b = [put(h.T) if np.any(h) else None
+            self.eph_up_b = [put(h.T, rep) if np.any(h) else None
                              for h in eph_acc.hup]
-            self.eph_dw_b = [put(h) if np.any(h) else None
-                             for h in eph_acc.hdw]
-            self.eph_gathers = [
-                (g.src, g.dst, complex(g.coeff),
-                 jax.device_put(jnp.asarray(g.dw_src)), putr(g.dw_sgn),
-                 jax.device_put(jnp.asarray(g.up_src)), putr(g.up_sgn))
-                for g in eph_acc.gathers]
+            self.eph_dw_b = [put(pad_rows(pad_rows(h, s[0]).T, s[0]).T, rep)
+                             if np.any(h) else None
+                             for h, s in zip(eph_acc.hdw, self._shapes)]
+            self.eph_gathers = put_gathers(eph_acc.gathers)
 
-        # sorted <-> blocked permutation: sorted_states[k] =
-        # blocked_states[order[k]]
+        # sorted -> padded-blocked position map: sorted index k lives at
+        # padded position scatter_idx[k] (per phonon plane)
         order = np.argsort(acc.states, kind="stable")
-        self._order = jax.device_put(jnp.asarray(order.astype(np.int32)))
-        self._inv_order = jax.device_put(
-            jnp.asarray(np.argsort(order).astype(np.int32)))
+        pad_pos = np.zeros(self.dim_el, np.int64)
+        for b, off in zip(self.blocks, self._offsets):
+            # only the dw axis is padded (appended rows), so unpadded
+            # in-block offsets carry over unchanged
+            pad_pos[b.offset:b.offset + b.size] = \
+                off + np.arange(b.size, dtype=np.int64)
+        self._scatter_idx = jax.device_put(
+            jnp.asarray(pad_pos[order].astype(np.int32)))
+        mask = np.zeros(self.dim_el_pad, np.float32)
+        mask[pad_pos] = 1.0
+        self._mask = jax.device_put(jnp.asarray(mask))
         nnz = int(np.sum(np.abs(acc.diag) > 0))
         for b, h in zip(self.blocks, acc.hup):
             nnz += int(np.count_nonzero(h)) * b.ddw
@@ -285,27 +333,36 @@ class JointKronMatvec:
 
     # -- layout conversion ----------------------------------------------
     def to_internal_flat(self, v_sorted):
-        """sorted-basis vector -> blocked layout: blocked[j] lives at sorted
-        position inv_order[j]."""
+        """sorted-basis vector -> padded blocked layout (scatter)."""
         v2 = v_sorted.reshape(self.dim_ph, self.dim_el)
-        return jnp.take(v2, self._inv_order, axis=1) \
-            .astype(self.dtype).reshape(-1)
+        out = jnp.zeros((self.dim_ph, self.dim_el_pad), self.dtype)
+        return out.at[:, self._scatter_idx].set(v2.astype(self.dtype)) \
+            .reshape(-1)
 
     def from_internal_flat(self, v_blocked):
-        v2 = v_blocked.reshape(self.dim_ph, self.dim_el)
-        return jnp.take(v2, self._order, axis=1).reshape(-1)
+        v2 = v_blocked.reshape(self.dim_ph, self.dim_el_pad)
+        return jnp.take(v2, self._scatter_idx, axis=1).reshape(-1)
+
+    def v0_project(self, v):
+        """Zero the structural dw padding of random start vectors."""
+        v2 = v.reshape(self.dim_ph, self.dim_el_pad)
+        return (v2 * self._mask[None, :].astype(v.dtype)).reshape(-1)
 
     # -- matvec ----------------------------------------------------------
-    def _apply_el(self, vb: List, hup_b, hdw_b, diag_b, gathers):
+    def _apply_el(self, vb: List, hup_b, hdw_b, diag_b, gathers,
+                  precision=None):
         """One electronic application on the per-block tensor list."""
         out = []
         for i, v in enumerate(vb):
             w = diag_b[i] * v if diag_b is not None else jnp.zeros_like(v)
             if hup_b[i] is not None:
-                w = w + v @ hup_b[i]
+                w = w + jnp.einsum("pdu,uv->pdv", v, hup_b[i],
+                                   preferred_element_type=v.dtype,
+                                   precision=precision)
             if hdw_b[i] is not None:
                 w = w + jnp.einsum("de,peu->pdu", hdw_b[i], v,
-                                   preferred_element_type=v.dtype)
+                                   preferred_element_type=v.dtype,
+                                   precision=precision)
             out.append(w)
         for (src, dst, coeff, dw_src, dw_sgn, up_src, up_sgn) in gathers:
             t = jnp.take(vb[src], dw_src, axis=1)
@@ -315,11 +372,16 @@ class JointKronMatvec:
         return out
 
     def split_blocks(self, v):
-        v2 = v.reshape(self.dim_ph, self.dim_el)
-        return [v2[:, o:o + s[0] * s[1]].reshape(self.dim_ph, *s)
-                for o, s in zip(self._offsets, self._shapes)]
+        v2 = v.reshape(self.dim_ph, self.dim_el_pad)
+        vb = [v2[:, o:o + s[0] * s[1]].reshape(self.dim_ph, *s)
+              for o, s in zip(self._offsets, self._shapes)]
+        if self._vsh is not None:
+            vb = [jax.lax.with_sharding_constraint(b, self._vsh) for b in vb]
+        return vb
 
     def join_blocks(self, vb):
+        if self._vsh is not None:
+            vb = [jax.lax.with_sharding_constraint(b, self._vsh) for b in vb]
         return jnp.concatenate(
             [w.reshape(self.dim_ph, -1) for w in vb], axis=1).reshape(-1)
 
@@ -347,9 +409,118 @@ class JointKronMatvec:
         return np.stack(cols, axis=1)
 
 
+class MixedJointKron(JointKronMatvec):
+    """c128-in/out blocked-Kron matvec computed in double-single complex64.
+
+    TPU c128 matmuls/elementwise are emulated; this operator splits every
+    factor H = Hhi + Hlo (c64 pair) and evaluates
+
+        main = Hhi v   (c64, HIGHEST-precision einsums — full-f32 MXU)
+        corr = Hlo v   (c64, DEFAULT precision: the term is ~6e-8 |Hv|)
+
+    with H v = main + corr merged in c128 by __call__.  ``pair(v_c64)``
+    feeds the DS Lanczos recurrences (ops.lanczos.lanczos_tridiag_ds /
+    lanczos_sweep_ds); set attribute ``exact`` (a c128 JointKronMatvec) for
+    the f64 Rayleigh-Ritz polish.  The joint-mode analog of the
+    normal-mode MixedFusedKron/MixedKronMatvec scheme."""
+
+    def __init__(self, cfg: EDConfig, sec: Sector, acc: BlockedTermAccumulator,
+                 eph_acc: Optional[BlockedTermAccumulator] = None, mesh=None):
+        super().__init__(cfg, sec, acc, eph_acc=eph_acc, dtype=jnp.complex64,
+                         mesh=mesh)
+        self.dtype = jnp.complex128
+        from ..ops.matvec import device_put_cplx
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(mesh, P())
+        else:
+            rep = None
+
+        def put_lo(h):
+            h = np.asarray(h, complex)
+            lo = h - np.asarray(h.astype(np.complex64), complex)
+            if not np.any(np.abs(lo) > 0):
+                return None
+            a = device_put_cplx(lo, jnp.complex64)
+            return a if rep is None else jax.device_put(a, rep)
+
+        self.hup_lo = [put_lo(h.T) if np.any(h) else None for h in acc.hup]
+        self.hdw_lo = []
+        for h, s in zip(acc.hdw, self._shapes):
+            if not np.any(h):
+                self.hdw_lo.append(None)
+                continue
+            hp = np.zeros((s[0], s[0]), complex)
+            hp[:h.shape[0], :h.shape[1]] = h
+            self.hdw_lo.append(put_lo(hp))
+        # real diagonal: f32 hi + f32 lo planes
+        self.diag_lo = []
+        for b, s in zip(self.blocks, self._shapes):
+            d = acc.diag[b.offset:b.offset + b.size].reshape(b.ddw, b.dup)
+            dp = np.zeros(s)
+            dp[:b.ddw] = d
+            lo = (dp - dp.astype(np.float32)).astype(np.float32)
+            a = jax.device_put(jnp.asarray(lo)) if np.any(lo) else None
+            self.diag_lo.append(a)
+        # gather coefficients: c64 rounding of the scalar is the only loss
+        self.gather_lo = [complex(c) - complex(np.complex64(c))
+                          for (_, _, c, *_r) in self.gathers]
+
+    def _pair_blocks(self, vb):
+        """(main, corr) per-block lists from c64 block tensors."""
+        hp = jax.lax.Precision.HIGHEST
+        main = self._apply_el(vb, self.hup_b, self.hdw_b, self.diag_b,
+                              self.gathers, precision=hp)
+        corr = []
+        for i, v in enumerate(vb):
+            w = (self.diag_lo[i] * v if self.diag_lo[i] is not None
+                 else jnp.zeros_like(v))
+            if self.hup_lo[i] is not None:
+                w = w + jnp.einsum("pdu,uv->pdv", v, self.hup_lo[i],
+                                   preferred_element_type=v.dtype)
+            if self.hdw_lo[i] is not None:
+                w = w + jnp.einsum("de,peu->pdu", self.hdw_lo[i], v,
+                                   preferred_element_type=v.dtype)
+            corr.append(w)
+        for lo_c, (src, dst, _c, dw_src, dw_sgn, up_src, up_sgn) in zip(
+                self.gather_lo, self.gathers):
+            if lo_c == 0:
+                continue
+            t = jnp.take(vb[src], dw_src, axis=1)
+            t = jnp.take(t, up_src, axis=2)
+            t = t * (dw_sgn[None, :, None] * up_sgn[None, None, :])
+            corr[dst] = corr[dst] + jnp.asarray(lo_c, jnp.complex64) * t
+        if self.has_ph:
+            ev = self._apply_el(vb, self.eph_up_b, self.eph_dw_b,
+                                self.eph_diag_b, self.eph_gathers,
+                                precision=hp)
+            for i in range(len(main)):
+                main[i] = main[i] \
+                    + jnp.einsum("pq,qdu->pdu",
+                                 self.ph_mat.astype(jnp.complex64), vb[i],
+                                 precision=hp) \
+                    + jnp.einsum("pq,qdu->pdu",
+                                 self.ph_x.astype(jnp.complex64), ev[i],
+                                 precision=hp)
+        return main, corr
+
+    def pair(self, v64):
+        vb = [b.astype(jnp.complex64) for b in self.split_blocks(v64)]
+        main, corr = self._pair_blocks(vb)
+        return self.join_blocks(main), self.join_blocks(corr)
+
+    def __call__(self, v):
+        # input-lo term Hhi (v - c64(v)) dropped — bounded by the c64 ulp
+        # of v, below the f32 accumulation noise of main (same budget as
+        # the normal-mode MixedFusedKron)
+        main, corr = self.pair(v.astype(jnp.complex64))
+        return main.astype(jnp.complex128) + corr.astype(jnp.complex128)
+
+
 def build_joint_kron_op(cfg: EDConfig, sec: Sector, hloc, um, bath,
                         hloc_anomalous=None,
-                        dtype=jnp.complex128) -> JointKronMatvec:
+                        dtype=jnp.complex128, mesh=None,
+                        mixed: bool = False) -> JointKronMatvec:
     from .joint import _enumerate_joint_terms
     if sec.qn[0] not in ("sz", "nt"):
         raise ValueError("blocked-Kron operator requires full (Nup,Ndw) "
@@ -359,4 +530,11 @@ def build_joint_kron_op(cfg: EDConfig, sec: Sector, hloc, um, bath,
     eph = _enumerate_joint_terms(cfg, sec, hloc, um, bath, hloc_anomalous,
                                  acc, lambda: BlockedTermAccumulator(
                                      sec, sec.ns))
-    return JointKronMatvec(cfg, sec, acc, eph_acc=eph, dtype=dtype)
+    if mixed:
+        mv = MixedJointKron(cfg, sec, acc, eph_acc=eph, mesh=mesh)
+        # exact c128 twin on the SAME padded internal layout — consumed by
+        # the Rayleigh-Ritz polish (diag.py refine) and ed_mixed_gf=False
+        mv.exact = JointKronMatvec(cfg, sec, acc, eph_acc=eph,
+                                   dtype=jnp.complex128, mesh=mesh)
+        return mv
+    return JointKronMatvec(cfg, sec, acc, eph_acc=eph, dtype=dtype, mesh=mesh)

@@ -82,7 +82,12 @@ def _j_row(a, j):
 
 @jax.jit
 def _j_deflate(lk, v):
-    return v - (jnp.conj(lk) @ v) @ lk
+    # projections run at the BASIS dtype: promoting a reduced-precision
+    # (m, dim) basis to the vector's f64 materializes multiple
+    # multi-GB temps (the r03 gs OOM: 42.6G HBM for dim 1.2e7, m 36);
+    # the f32-coefficient error (~1e-7) matches the basis's own precision
+    proj = jnp.conj(lk) @ v.astype(lk.dtype)
+    return v - (proj @ lk).astype(v.dtype)
 
 
 @jax.jit
@@ -404,16 +409,17 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
         # so spurious zero-modes of the pad block never enter the Krylov space
         v0 = _jitted(matvec.v0_project, owner=matvec, attr="_edtpu_jit_v0p")(v0)
 
-    use_ds = hasattr(matvec, "pair") and not jnp.issubdtype(
-        dtype, jnp.complexfloating)
+    use_ds = hasattr(matvec, "pair")
     sweep_fn = lanczos_sweep_ds if use_ds else lanczos_sweep
 
+    ds_store = (jnp.complex64 if jnp.issubdtype(dtype, jnp.complexfloating)
+                else jnp.float32)
     locked_vecs = []
     locked_vals = []
     start = v0
     for restart in range(max_restarts):
         locked = (_j_stack(locked_vecs) if locked_vecs
-                  else _j_zeros((0, dim), jnp.float32 if use_ds else dtype))
+                  else _j_zeros((0, dim), ds_store if use_ds else dtype))
         alphas, betas, V = sweep_fn(matvec, start, m, locked)
         a = np.asarray(alphas)
         b = np.asarray(betas)
@@ -556,6 +562,7 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
     best = (np.inf, val, vec)
     start = vec
     ds_active = sweep_op is not None
+    ds_rounds = 0
     prev_resid = np.inf
     for _round in range(max_rounds):
         lk = (_j_stack(deflate) if deflate
@@ -613,19 +620,33 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
                 else _j_ritzc(cw, Vd)
         w0 = _j_row(W, 0)
         vec = _j_scale(w0, float(_j_norm(w0)))
+        if vec.dtype != dtype:
+            # a DS-round Ritz vector is reduced precision; upcast BEFORE the
+            # exact products — operator __call__s cast their output to the
+            # input dtype, so feeding c64 would silently degrade the whole
+            # exact refinement to c64 (the polish then floors at 1e-5)
+            vec = _j_astype(vec, dtype)
         hv = mvj(vec)
         val = float(_j_vdot_real(vec, hv))
         rvec = _j_axpy(hv, val, vec)
         resid = float(_j_norm(rvec))
         scale = max(1.0, abs(val))
+        import os
+        if os.environ.get("EDTPU_DEBUG_POLISH"):
+            print(f"[polish] round {_round} ds={ds_active} k_eff={k_eff} "
+                  f"kb={kb} val={val:.12f} resid={resid:.3e} "
+                  f"rr0={sv[0]:.12f}")
         if resid < best[0]:
             best = (resid, val, vec)
         if resid < rtol * scale:
             break
-        if ds_active and resid > 0.5 * prev_resid:
-            # DS expansion hit its ~1e-6 noise floor — finish the last
-            # rounds on exact sweeps (val error drops quadratically from
-            # here, so 1-2 exact rounds reach rtol)
+        ds_rounds += 1 if ds_active else 0
+        if ds_active and (resid > 0.5 * prev_resid
+                          or resid < 2e-5 * scale
+                          or ds_rounds >= max_rounds // 2):
+            # DS expansion stalled / approached the f32-pair noise floor /
+            # used its round budget — finish on exact sweeps (val error
+            # drops quadratically from here, reaching rtol in 1-3 rounds)
             ds_active = False
         prev_resid = resid
         block = [vec]
@@ -633,6 +654,8 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
             if len(block) >= max_cluster:
                 break
             wj = _j_row(W, j)
+            if wj.dtype != dtype:
+                wj = _j_astype(wj, dtype)
             block.append(_j_scale(wj, float(_j_norm(wj))))
         start = _j_scale(rvec, resid) if resid > 1e-14 * scale else vec
     bvec = best[2]
@@ -650,6 +673,26 @@ def _j_take_rows(a, k):
 
 @jax.jit
 def _j_inner(a, b):
+    if a.dtype != b.dtype:
+        # mixed basis/vector precision (DS polish rounds): contract at the
+        # basis dtype in f64-accumulated chunks — a full promotion of the
+        # (m, dim) basis to f64 costs multi-GB temps (the r03 gs OOM) and
+        # emulated-f64 matmul time
+        b32 = b.astype(a.dtype)
+        k, n = a.shape
+        c = 2048
+        pad = (-n) % c
+        if pad:
+            a = jnp.concatenate([a, jnp.zeros((k, pad), a.dtype)], axis=1)
+            b32 = jnp.concatenate(
+                [b32, jnp.zeros((b32.shape[0], pad), b32.dtype)], axis=1)
+        ap = jnp.conj(a).reshape(k, -1, c)
+        bp = b32.reshape(b32.shape[0], -1, c)
+        part = jnp.einsum("kct,mct->kmc", ap, bp,
+                          precision=jax.lax.Precision.HIGHEST)
+        acc = (jnp.complex128 if jnp.issubdtype(a.dtype, jnp.complexfloating)
+               else jnp.float64)
+        return part.astype(acc).sum(axis=-1)
     return jnp.conj(a) @ b.T
 
 

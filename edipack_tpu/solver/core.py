@@ -215,6 +215,20 @@ def _normal_builders(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
                  and (cfg.ed_mixed_matvec == "always"
                       or platform in ("tpu", "axon")))
 
+    if not cfg.ed_sparse_h:
+        # reference ed_sparse_H=F selects the matrix-free direct HxV
+        # (ED_NORMAL/..._DIRECT_HxV.f90). The normal-mode Kron operator is
+        # already matrix-free in the relevant sense: only the
+        # O(DimUp^2 + DimDw^2) spin factors are materialized, never the
+        # O(Dim) sector matrix — so the flag is satisfied by construction.
+        import warnings
+        warnings.warn(
+            "ed_sparse_h=False: the normal-mode Kronecker matvec stores "
+            "only the per-spin factor matrices (memory O(DimUp^2+DimDw^2)), "
+            "which already meets the matrix-free intent of the reference's "
+            "direct HxV; the flag changes nothing in normal mode "
+            "(joint modes switch to JointMatvecDirect)", stacklevel=2)
+
     def _try_fused(sec: Sector, mixed: bool):
         """Fused Pallas kernel path (single TPU chip, no phonons, sector
         fits VMEM-resident; ops.pallas_fused). Returns None when out of

@@ -103,6 +103,26 @@ class _GfHarvester:
         self._pending = {}
 
 
+def _phonon_gf_channels(cfg: EDConfig, table: SectorTable, sl: StateList,
+                        H: _GfHarvester, gf: GFMatrix) -> None:
+    """Phonon displacement propagator D(z) channel for the joint modes:
+    X = b + b† applied within the SAME sector (reference
+    lanc_build_gf_phonon_main, ED_SUPERC/ED_GF_SUPERC.f90:366-419, nonsu2
+    equivalent via get_impD_nonsu2 dispatch ED_GREENS_FUNCTIONS.f90:140-158;
+    the normal-mode twin lives in greens.build_gf_normal)."""
+    if cfg.nph == 0:
+        return
+    from ..models.normal import _phonon_matrices
+    _, x = _phonon_matrices(cfg)
+    xj = jnp.asarray(x)
+    w = sl.boltzmann_weights()
+    for ist, st in enumerate(sl):
+        sec = table.sector(st.sector)
+        v2 = jnp.reshape(st.vector, (sec.dim_ph, sec.dim_el))
+        phi = jnp.einsum("pq,qe->pe", xj.astype(v2.dtype), v2)
+        H.add_channel(gf, ("ph",), st.sector, phi, w[ist], +1, st.energy)
+
+
 def build_gf_superc(cfg: EDConfig, table: SectorTable, sl: StateList,
                     matvec_builder, dense_eig_cache) -> GFMatrix:
     gf = GFMatrix()
@@ -172,6 +192,7 @@ def build_gf_superc(cfg: EDConfig, table: SectorTable, sl: StateList,
                     [("cdg", a, up), ("c", b, dw)], [1, 1j], -1j, +1)
             channel(("faux", a, b), jm,
                     [("c", a, up), ("cdg", b, dw)], [1, -1j], -1j, -1)
+    _phonon_gf_channels(cfg, table, sl, H, gf)
     H.flush()
     return gf
 
@@ -289,6 +310,7 @@ def build_gf_nonsu2(cfg: EDConfig, table: SectorTable, sl: StateList,
                             [("cdg", a, s1), ("cdg", b, s2)], [1, 1j], -1j, +1)
                     channel(("gaux", keys[i1], keys[i2]), jm,
                             [("c", a, s1), ("c", b, s2)], [1, -1j], -1j, -1)
+    _phonon_gf_channels(cfg, table, sl, H, gf)
     H.flush()
     return gf
 
@@ -321,7 +343,8 @@ def eval_gf_nonsu2(cfg: EDConfig, gf: GFMatrix, z):
 
 def compute_observables_joint(cfg: EDConfig, table: SectorTable, sl: StateList,
                               hloc, um: Umatrix,
-                              op_cache: Dict[int, JointSectorOp]) -> Observables:
+                              op_cache: Dict[int, JointSectorOp],
+                              hloc_anomalous=None) -> Observables:
     norb = cfg.norb
     ns = table.dims.ns
     isdw = cfg.nspin - 1
@@ -331,8 +354,17 @@ def compute_observables_joint(cfg: EDConfig, table: SectorTable, sl: StateList,
         docc=np.zeros(norb), mag=np.zeros((3, norb)),
         sz2=np.zeros((norb, norb)), n2=np.zeros((norb, norb)),
         sp_dm=np.zeros((cfg.nspin, ns, ns), dtype=complex),
-        ph_n=np.zeros(cfg.nph + 1))
+        ph_n=np.zeros(cfg.nph + 1), prob=np.zeros(3 ** norb))
     obs.egs = sl.e0
+    if cfg.nph > 0:
+        obs.ph_dm = np.zeros((cfg.nph + 1, cfg.nph + 1))
+        # X = b + b† on the oscillator register (same convention as the
+        # normal-mode observables, solver/observables.py)
+        _xsq = np.sqrt(np.arange(1, cfg.nph + 1))
+        _xmat = np.zeros((cfg.nph + 1,) * 2)
+        _xmat[np.arange(1, cfg.nph + 1), np.arange(cfg.nph)] = _xsq
+        _xmat[np.arange(cfg.nph), np.arange(1, cfg.nph + 1)] = _xsq
+        _xmat2 = _xmat @ _xmat
     obs.phisc = np.zeros((norb, norb))
     obs.argphi = np.zeros((norb, norb))
     phi_c = np.zeros((norb, norb), complex)
@@ -361,8 +393,43 @@ def compute_observables_joint(cfg: EDConfig, table: SectorTable, sl: StateList,
         sz2 = 0.25 * (q_uu + q_dd - q_ud - q_ud.T)
         obs.sz2 += w[ist] * sz2
         obs.s2tot += w[ist] * sz2.sum()
+        # 3^Norb configuration probabilities (reference
+        # ED_OBSERVABLES_SUPERC.f90:92,153: class index Σ_a (n_a↑+n_a↓) 3^a)
+        pows = 3 ** np.arange(norb)
+        cls = (o_up.astype(np.int64) + o_dw.astype(np.int64)) @ pows
+        np.add.at(obs.prob, cls, w[ist] * pe)
         if cfg.nph > 0:
-            obs.ph_n += w[ist] * p2.sum(axis=1)
+            pph = p2.sum(axis=1)
+            obs.ph_n += w[ist] * pph
+            # <X>, <X²>, phonon density matrix and energies (reference
+            # ED_OBSERVABLES_SUPERC.f90:111,179,462 X_ph/X2_ph and
+            # :809-830 Eph/Eeph; conventions match solver/observables.py)
+            obs.ph_x += w[ist] * np.einsum("pe,pq,qe->", np.conj(v2),
+                                           _xmat, v2).real
+            obs.ph_x2 += w[ist] * np.einsum("pe,pq,qe->", np.conj(v2),
+                                            _xmat2, v2).real
+            obs.ph_dm += w[ist] * np.einsum("pe,qe->pq", np.conj(v2),
+                                            v2).real
+            obs.eph += w[ist] * cfg.w0_ph * float(
+                np.arange(cfg.nph + 1) @ pph)
+            op = op_cache.get(st.sector)
+            if op is not None and getattr(op, "eph_diag", None) is not None:
+                t = np.einsum("pe,pq,e,qe->", np.conj(v2), _xmat,
+                              op.eph_diag, v2).real
+                if getattr(op, "eph_rows", None) is not None \
+                        and len(op.eph_rows):
+                    a_ = np.conj(v2[:, op.eph_rows])
+                    b_ = v2[:, op.eph_cols] * op.eph_vals[None, :]
+                    t += np.real(np.einsum("pk,qk,pq->", a_, b_, _xmat))
+                obs.eeph += w[ist] * t
+            else:
+                # twin-reconstructed sector (no cached op): default
+                # orbital-diagonal coupling Σ_a g_aa (n_a↑+n_a↓) ⊗ X
+                from ..models.normal import g_ph_matrix
+                gd = np.diag(g_ph_matrix(cfg))
+                eel = (o_up + o_dw) @ gd
+                obs.eeph += w[ist] * np.einsum(
+                    "pe,pq,e,qe->", np.conj(v2), _xmat, eel, v2).real
         # energies: eknot (imp one-body diag only here; offdiag via ops below)
         himp_u = np.real(np.asarray(hloc)[0, 0])
         himp_d = np.real(np.asarray(hloc)[isdw, isdw])
@@ -446,6 +513,21 @@ def compute_observables_joint(cfg: EDConfig, table: SectorTable, sl: StateList,
                                          blk[a, b]))
         if hops:
             obs.eknot += w[ist] * np.real(_expect(hops))
+        # anomalous-Hloc eknot (reference ED_OBSERVABLES_SUPERC.f90:595-627:
+        # ⟨Σ_ab ha_ab c†_a↑ c†_b↓ + h.c.⟩, pair_field excluded) — same
+        # operator convention as the H builder (models/joint.py:283-298)
+        if cfg.ed_mode == "superc" and hloc_anomalous is not None:
+            han = np.asarray(hloc_anomalous, complex)
+            ahops = []
+            for a in range(norb):
+                for b in range(norb):
+                    if han[a, b] != 0:
+                        ahops.append(((("cdg", b, SPIN_DW),
+                                       ("cdg", a, SPIN_UP)), han[a, b]))
+                        ahops.append(((("c", a, SPIN_UP), ("c", b, SPIN_DW)),
+                                      np.conj(han[a, b])))
+            if ahops:
+                obs.eknot += w[ist] * np.real(_expect(ahops))
         obs.eint += w[ist] * epot
         if cfg.hfmode:
             ntot = nu + nd
@@ -546,8 +628,12 @@ def solve_impurity_joint(cfg: EDConfig, hloc, um: Umatrix, bath: DmftBath,
 
     platform = _jax.devices()[0].platform
     use_kron = cfg.ed_joint_kron == "always" or (
-        cfg.ed_joint_kron == "auto" and platform in ("tpu", "axon")
-        and _mesh is None)
+        cfg.ed_joint_kron == "auto" and platform in ("tpu", "axon"))
+    # double-single c64 production matvec (TPU c128 is emulated); the exact
+    # c128 twin rides along for the Rayleigh-Ritz polish
+    use_mixed_joint = (cfg.ed_mixed_matvec != "never"
+                       and (cfg.ed_mixed_matvec == "always"
+                            or platform in ("tpu", "axon")))
 
     def matvec_builder(sec: Sector) -> JointMatvec:
         if sec.index not in mv_cache:
@@ -556,10 +642,18 @@ def solve_impurity_joint(cfg: EDConfig, hloc, um: Umatrix, bath: DmftBath,
                 # blocks — number-conserving terms as dense MXU factor
                 # matmuls, pairing/spin-flip as per-spin axis gathers
                 # (models/joint_kron.py; replaces the random-access ELL
-                # gather the TPU executes ~1000x below its matmul rate)
+                # gather the TPU executes ~1000x below its matmul rate).
+                # Multi-chip: each block's dw axis is padded to a mesh
+                # multiple and row-sharded (the reference's Allgatherv
+                # decomposition) — the FAST path shards now, not just the
+                # ELL fallback.
                 from ..models.joint_kron import build_joint_kron_op
+                kmesh = _mesh if (_mesh is not None and
+                                  sec.dim > 4 * cfg.lanc_dim_threshold) \
+                    else None
                 mv = build_joint_kron_op(cfg, sec, hloc, um, bath,
-                                         hloc_anomalous=hloc_anomalous)
+                                         hloc_anomalous=hloc_anomalous,
+                                         mesh=kmesh, mixed=use_mixed_joint)
             elif not cfg.ed_sparse_h:
                 # matrix-free COO application (reference ed_sparse_H=F,
                 # ED_*/direct/ trees): O(nnz) memory, no padded ELL
@@ -593,19 +687,27 @@ def solve_impurity_joint(cfg: EDConfig, hloc, um: Umatrix, bath: DmftBath,
                            neigen_override=neigen_override,
                            sector_mask=sector_mask)
 
+    def gf_matvec_builder(sec: Sector):
+        """GF moments ride the DS operator unless ed_mixed_gf opts out."""
+        mv = matvec_builder(sec)
+        if not cfg.ed_mixed_gf and hasattr(mv, "exact"):
+            return mv.exact
+        return mv
+
     gf = GFMatrix()
     if flag_gf:
         with timer.phase("greens_functions"):
             if cfg.ed_mode == "superc":
                 gf = build_gf_superc(cfg, table, diag.state_list,
-                                     matvec_builder, dense_eig_cache)
+                                     gf_matvec_builder, dense_eig_cache)
             else:
                 gf = build_gf_nonsu2(cfg, table, diag.state_list,
-                                     matvec_builder, dense_eig_cache)
+                                     gf_matvec_builder, dense_eig_cache)
 
     with timer.phase("observables"):
         obs = compute_observables_joint(cfg, table, diag.state_list, hloc, um,
-                                        op_cache)
+                                        op_cache,
+                                        hloc_anomalous=hloc_anomalous)
 
     rdm = None
     if cfg.rdm_flag:

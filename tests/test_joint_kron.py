@@ -18,6 +18,20 @@ from edipack_tpu.sectors import SectorTable
 from edipack_tpu.umatrix import build_umatrix
 
 
+def dense_sorted(kr):
+    """Dense matrix of the blocked-Kron operator in the SORTED joint basis
+    (columns through the to/from_internal_flat layout boundary — also
+    exercises the padded internal layout)."""
+    dim = kr.dim_ph * kr.dim_el
+    cols = []
+    for i in range(dim):
+        e = np.zeros(dim, complex)
+        e[i] = 1.0
+        w = kr(kr.to_internal_flat(jnp.asarray(e)))
+        cols.append(np.asarray(kr.from_internal_flat(w)))
+    return np.stack(cols, axis=1)
+
+
 def _hloc(cfg, soc=False):
     rng = np.random.default_rng(11)
     h = np.zeros((cfg.nspin, cfg.nspin, cfg.norb, cfg.norb), complex)
@@ -44,18 +58,12 @@ def _compare(cfg, qn, hloc=None, hloc_anomalous=None):
     dense_ref = np.asarray(ref.to_dense())
     kr = build_joint_kron_op(cfg, sec, hloc, um, bath,
                              hloc_anomalous=hloc_anomalous)
-    dense_blk = kr.to_dense()
-    # conjugate by the sorted<->blocked permutation
-    order = np.asarray(kr._order)
-    P = np.zeros((kr.dim_el, kr.dim_el))
-    P[np.arange(kr.dim_el), order] = 1.0   # sorted <- blocked
-    dp = kr.dim_ph
-    Pfull = np.kron(np.eye(dp), P)
-    dev = np.abs(Pfull @ dense_blk @ Pfull.T - dense_ref).max()
+    dev = np.abs(dense_sorted(kr) - dense_ref).max()
     assert dev < 1e-10, dev
-    # layout round-trip
+    # layout round-trip (logical sorted size)
     rng = np.random.default_rng(0)
-    v = rng.normal(size=kr.dim) + 1j * rng.normal(size=kr.dim)
+    nlog = kr.dim_ph * kr.dim_el
+    v = rng.normal(size=nlog) + 1j * rng.normal(size=nlog)
     vi = kr.to_internal_flat(jnp.asarray(v))
     back = np.asarray(kr.from_internal_flat(vi))
     np.testing.assert_allclose(back, v, atol=1e-12)
@@ -101,10 +109,7 @@ def test_superc_replica_nambu():
         ref = np.asarray(build_joint_sector_op(cfg, sec, hloc, um,
                                                bath).to_dense())
         kr = build_joint_kron_op(cfg, sec, hloc, um, bath)
-        order = np.asarray(kr._order)
-        P = np.zeros((kr.dim_el, kr.dim_el))
-        P[np.arange(kr.dim_el), order] = 1.0
-        dev = np.abs(P @ kr.to_dense() @ P.T - ref).max()
+        dev = np.abs(dense_sorted(kr) - ref).max()
         assert dev < 1e-10, dev
     finally:
         clear_global_basis()
@@ -134,10 +139,7 @@ def test_nonsu2_exc_field_and_sundry():
     ref = np.asarray(build_joint_sector_op(cfg, sec, hloc, um,
                                            bath).to_dense())
     kr = build_joint_kron_op(cfg, sec, hloc, um, bath)
-    order = np.asarray(kr._order)
-    P = np.zeros((kr.dim_el, kr.dim_el))
-    P[np.arange(kr.dim_el), order] = 1.0
-    dev = np.abs(P @ kr.to_dense() @ P.T - ref).max()
+    dev = np.abs(dense_sorted(kr) - ref).max()
     assert dev < 1e-10, dev
 
 
@@ -179,3 +181,81 @@ def test_solve_with_blocked_kron_matches_ell(mode, kw):
                                    atol=1e-7)
         np.testing.assert_allclose(np.asarray(a.phisc), np.asarray(b.phisc),
                                    atol=1e-8)
+
+
+def test_mixed_joint_kron_ds_parity():
+    """MixedJointKron (c64 double-single pair) == c128 operator to ~1e-6,
+    and its DS Lanczos eigenvalue + exact polish reaches f64 accuracy."""
+    from edipack_tpu.ops.lanczos import eigsh_lowest
+    cfg = default_config(norb=2, nbath=2, nspin=1, ed_mode="superc",
+                         uloc=[-1.3, -1.1], ust=0.4, jh=0.2, jx=0.15,
+                         jp=0.12, deltasc=0.1, xmu=0.2)
+    um = build_umatrix(cfg)
+    bath = init_bath(cfg)
+    table = SectorTable(cfg)
+    sec = table.by_qn(("sz", 0))
+    hloc = _hloc(cfg)
+    mv = build_joint_kron_op(cfg, sec, hloc, um, bath, mixed=True)
+    rng = np.random.default_rng(5)
+    v = jnp.asarray(rng.normal(size=mv.dim) + 1j * rng.normal(size=mv.dim))
+    w_ex = np.asarray(mv.exact(v))
+    # __call__ merges main+corr in c128
+    w_ds = np.asarray(mv(v))
+    assert np.abs(w_ds - w_ex).max() / np.abs(w_ex).max() < 1e-6
+    # pair() on a c64 vector
+    m, c = mv.pair(v.astype(jnp.complex64))
+    w_p = np.asarray(m, complex) + np.asarray(c, complex)
+    assert np.abs(w_p - w_ex).max() / np.abs(w_ex).max() < 1e-6
+    # DS sweeps + exact refine deliver the dense ground energy
+    dense = dense_sorted(mv.exact)
+    e_ref = np.linalg.eigvalsh(dense)[0]
+    vals, vecs = eigsh_lowest(mv, mv.dim, 1, dtype=jnp.complex128, m=48,
+                              tol=2e-6, max_restarts=10,
+                              refine_matvec=mv.exact)
+    assert abs(vals[0] - e_ref) < 1e-9, (vals[0], e_ref)
+
+
+def test_joint_kron_sharded_mesh_parity():
+    """Padded dw-sharded blocked-Kron (8-device mesh) == unsharded, exactly.
+
+    The multi-chip fast path of the superc/nonsu2 matvec (VERDICT r03
+    missing #2): blocks pad their dw axis to a mesh multiple and carry a
+    NamedSharding; GSPMD inserts the all-gathers for the cross-block
+    pairing gathers (reference ED_HAMILTONIAN_SUPERC_STORED_HxV.f90:366-432
+    row split)."""
+    import jax
+    from edipack_tpu.parallel.mesh import make_mesh
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs the virtual multi-device mesh")
+    cfg = default_config(norb=2, nbath=3, nspin=1, ed_mode="superc",
+                         uloc=[-1.3, -1.1], ust=0.4, jh=0.2, jx=0.15,
+                         jp=0.12, deltasc=0.1, xmu=0.2)
+    um = build_umatrix(cfg)
+    bath = init_bath(cfg)
+    table = SectorTable(cfg)
+    sec = table.by_qn(("sz", 0))
+    hloc = _hloc(cfg)
+    mesh = make_mesh(sec_axis=1)
+    kr0 = build_joint_kron_op(cfg, sec, hloc, um, bath)
+    kr8 = build_joint_kron_op(cfg, sec, hloc, um, bath, mesh=mesh)
+    rng = np.random.default_rng(7)
+    nlog = kr0.dim_ph * kr0.dim_el
+    v = rng.normal(size=nlog) + 1j * rng.normal(size=nlog)
+    f8 = jax.jit(lambda u: kr8.from_internal_flat(
+        kr8(kr8.to_internal_flat(u))))
+    w8 = np.asarray(f8(jnp.asarray(v)))
+    w0 = np.asarray(kr0.from_internal_flat(kr0(kr0.to_internal_flat(
+        jnp.asarray(v)))))
+    np.testing.assert_allclose(w8, w0, atol=1e-11)
+    # the padded operand really carries a non-replicated sharding
+    shards = {s.device for s in kr8.diag_b[len(kr8.diag_b) // 2]
+              .addressable_shards}
+    assert len(shards) == len(jax.devices())
+    # mixed + mesh compose
+    krm = build_joint_kron_op(cfg, sec, hloc, um, bath, mesh=mesh,
+                              mixed=True)
+    fm = jax.jit(lambda u: krm.from_internal_flat(
+        krm(krm.to_internal_flat(u))))
+    wm = np.asarray(fm(jnp.asarray(v)))
+    assert np.abs(wm - w0).max() / np.abs(w0).max() < 1e-6
