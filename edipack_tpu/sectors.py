@@ -384,13 +384,15 @@ class SectorTable:
         """True for sectors to be diagonalized when ed_twin is on
         (reference setup_global twin_mask, ED_SETUP.f90:592-603).
 
-        normal and superc modes elide twins (superc reconstruction uses the
-        signed spin-swap permutation, see diag._twin_state_joint); nonsu2's
-        Ntot -> 2Ns-Ntot complement is a symmetry only for exactly
-        particle-hole-symmetric models, so both twins stay diagonalized —
-        reference-equal results at ~2x sweep cost."""
+        normal and superc modes elide twins and reconstruct eigenvectors by
+        a signed permutation (diag._twin_state_joint).  nonsu2 elides the
+        Ntot > Ns half of the scan (the reference does the same); its
+        particle-hole map has no basis-level signed permutation valid for
+        arbitrary baths, so any elided sector whose states survive the trim
+        is RE-SOLVED exactly (diag._resolve_nonsu2_twins) — at T=0 the
+        ground sector is self-twin and the full 2x sweep saving realizes."""
         mask = np.ones(len(self), dtype=bool)
-        if not self.cfg.ed_twin or self.cfg.ed_mode == "nonsu2":
+        if not self.cfg.ed_twin:
             return mask
         for i in range(len(self)):
             j = self.twin_of(i)

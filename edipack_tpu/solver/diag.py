@@ -168,31 +168,10 @@ def diagonalize_sites(cfg: EDConfig, table: SectorTable,
     sector_times: List[Tuple] = []
     for s, i in lanc_items:
         _t0 = _time.perf_counter()
-        sec = table.sector(i)
-        mv = matvec_builders[s](sec)
-        nev = min(max(neigen[s, i], 1), mv.dim - 1) or 1
-        m = min(mv.dim, max(cfg.lanc_ncv_factor * nev + cfg.lanc_ncv_add,
-                            4 * nev + 24, 48))
-        if cfg.lanc_method == "lanczos":
-            # plain-Lanczos semantics (reference sp_lanc_eigh, T=0): one
-            # long sweep sized by lanc_niter instead of the restarted
-            # ARPACK-style NCV blocks
-            m = min(mv.dim, max(m, min(cfg.lanc_niter, 512)))
-        refine = getattr(mv, "exact", None)
-        # mixed-precision matvec: residuals floor at the ~3e-7 matvec noise;
-        # the exact f64 Rayleigh-Ritz refinement recovers the eigenvalues
-        tol = max(cfg.lanc_tolerance, 1e-14) if refine is None \
-            else max(cfg.lanc_tolerance, 2e-6)
-        vals, vecs = eigsh_lowest(mv, mv.dim, nev, dtype=mv.dtype, m=m,
-                                  tol=tol,
-                                  max_restarts=max(4, cfg.lanc_niter // m),
-                                  refine_matvec=refine)
-        evals_by_sector[s][i] = vals
-        conv = getattr(mv, "from_internal_flat", None)
-        for j in range(len(vals)):
-            vec = conv(vecs[j]) if conv is not None else vecs[j]
-            sls[s].add(EigenState(float(vals[j]), i, vec))
-        sector_times.append((i, table.get_dim(i), len(vals),
+        _lanczos_solve_sector(cfg, table, i, matvec_builders[s],
+                              neigen[s, i], sls[s], evals_by_sector[s])
+        sector_times.append((i, table.get_dim(i),
+                             len(evals_by_sector[s][i]),
                              _time.perf_counter() - _t0))
     if cfg.ed_verbose >= 3 and sector_times:
         # per-sector timing table (reference SF_TIMER eta prints per sector,
@@ -201,12 +180,104 @@ def diagonalize_sites(cfg: EDConfig, table: SectorTable,
         for i, d, nv, dt in sorted(sector_times, key=lambda t: -t[3])[:20]:
             print(f"  sector {i:4d} dim {d:>10d} nev {nv}  {dt:8.3f}s")
 
+    # ---- nonsu2 twin elision: re-solve elided sectors whose states the
+    # trim will retain (reference ED_SETUP.f90:592-603 halves the nonsu2
+    # scan; there is no basis-level signed permutation valid for arbitrary
+    # baths, so retained twin VECTORS are obtained by an exact re-solve —
+    # at T=0 the ground sector is self-twin and no re-solve happens)
+    if cfg.ed_twin and cfg.ed_mode == "nonsu2":
+        for s in range(nsites):
+            _resolve_nonsu2_twins(cfg, table, sls[s], evals_by_sector[s],
+                                  matvec_builders[s], dense_builders[s],
+                                  neigen[s], twin_masks[s],
+                                  sector_masks[s] if sector_masks else None)
+
     # ---- per-site tail: twins, trim, adaptive feedback ----------------
     out: List[DiagResult] = []
     for s in range(nsites):
         out.append(_finish_site(cfg, table, sls[s], evals_by_sector[s],
                                 neigen[s], twin_masks[s], nsec))
     return out
+
+
+def _lanczos_solve_sector(cfg: EDConfig, table: SectorTable, i: int,
+                          matvec_builder, nev_req: int, sl: StateList,
+                          evals_by_sector: Dict[int, np.ndarray]) -> None:
+    """Solve one Lanczos-sized sector into ``sl`` / ``evals_by_sector``."""
+    sec = table.sector(i)
+    mv = matvec_builder(sec)
+    nev = min(max(nev_req, 1), mv.dim - 1) or 1
+    m = min(mv.dim, max(cfg.lanc_ncv_factor * nev + cfg.lanc_ncv_add,
+                        4 * nev + 24, 48))
+    if cfg.lanc_method == "lanczos":
+        # plain-Lanczos semantics (reference sp_lanc_eigh, T=0): one
+        # long sweep sized by lanc_niter instead of the restarted
+        # ARPACK-style NCV blocks
+        m = min(mv.dim, max(m, min(cfg.lanc_niter, 512)))
+    refine = getattr(mv, "exact", None)
+    # mixed-precision matvec: residuals floor at the ~3e-7 matvec noise;
+    # the exact f64 Rayleigh-Ritz refinement recovers the eigenvalues
+    tol = max(cfg.lanc_tolerance, 1e-14) if refine is None \
+        else max(cfg.lanc_tolerance, 2e-6)
+    vals, vecs = eigsh_lowest(mv, mv.dim, nev, dtype=mv.dtype, m=m,
+                              tol=tol,
+                              max_restarts=max(4, cfg.lanc_niter // m),
+                              refine_matvec=refine)
+    evals_by_sector[i] = vals
+    conv = getattr(mv, "from_internal_flat", None)
+    for j in range(len(vals)):
+        vec = conv(vecs[j]) if conv is not None else vecs[j]
+        sl.add(EigenState(float(vals[j]), i, vec))
+
+
+def _resolve_nonsu2_twins(cfg: EDConfig, table: SectorTable, sl: StateList,
+                          evals_by_sector: Dict[int, np.ndarray],
+                          matvec_builder, dense_builder, neigen: np.ndarray,
+                          twin_mask: np.ndarray,
+                          sector_mask: Optional[np.ndarray]) -> None:
+    """Solve any twin-elided nonsu2 sector whose spectrum (mirrored from
+    its solved partner) would enter the trimmed state list."""
+    if len(sl) == 0:
+        return
+    # mirror partner energies into elided sectors (PH-symmetric spectra)
+    cand = []
+    for i in range(len(table)):
+        if twin_mask[i] or table.get_dim(i) == 0:
+            continue
+        if sector_mask is not None and not sector_mask[i]:
+            continue   # user-masked, not twin-elided
+        j = table.twin_of(i)
+        if j == i or j not in evals_by_sector:
+            continue
+        cand.append((i, evals_by_sector[j]))
+    if not cand:
+        return
+    e0 = min(min(st.energy for st in sl),
+             min(float(ev[0]) for _, ev in cand if len(ev)))
+    for i, ev in cand:
+        if len(ev) == 0:
+            continue
+        if cfg.ed_finite_temp:
+            need = np.exp(-cfg.beta * (float(ev[0]) - e0)) > cfg.cutoff
+        else:
+            need = float(ev[0]) - e0 <= cfg.gs_threshold
+        if not need:
+            # energy bookkeeping only (evals getters, neigen annealing)
+            evals_by_sector[i] = np.asarray(ev).copy()
+            continue
+        # exact re-solve (vectors required)
+        if table.get_dim(i) <= cfg.lanc_dim_threshold:
+            h = dense_builder(table.sector(i))
+            evs, evecs = np.linalg.eigh(h)
+            evals_by_sector[i] = evs
+            n_deg = int(np.sum(evs - evs[0] <= cfg.gs_threshold))
+            keep = min(len(evs), max(int(neigen[i]), n_deg, 1))
+            for k in range(keep):
+                sl.add(EigenState(float(evs[k]), i,
+                                  jnp.asarray(evecs[:, k])))
+        else:
+            _lanczos_solve_sector(cfg, table, i, matvec_builder,
+                                  int(neigen[i]), sl, evals_by_sector)
 
 
 def _twin_state_joint(sec, sec_twin, vector):
