@@ -182,6 +182,10 @@ class EDConfig:
     ed_mixed_gf: bool = True
     ed_dense_factors: bool = True   # normal mode: dense spin-factor matmul path
     ed_batch_dense: bool = True     # batch small sectors into one padded eigh
+    # lockstep-batch same-shape Lanczos sectors (cross-site and PH partners)
+    # into single vmapped DS-sweep launches (diag.py; TPU upgrade of the
+    # reference's serial sector loop, ED_DIAG_NORMAL.f90:108)
+    ed_batch_lanczos: bool = True
     ed_file_suffix: str = ""        # per-site suffix (ineq extension)
     ed_output_dir: str = "."        # where .ed text outputs are written
     ed_write_files: bool = False    # write observables_*.ed etc. text files

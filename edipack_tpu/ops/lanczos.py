@@ -363,6 +363,37 @@ def lanczos_sweep_ds(op, v0, m: int, locked=None):
     return alphas, betas, V
 
 
+@partial(jax.jit, static_argnums=(0, 1, 4))
+def lanczos_sweep_ds_ops(kernel_pair, shape3, ops, v0, m: int, locked=None):
+    """Functional-operand DS sweep: the matvec is
+    ``kernel_pair(ops, vhi3) -> (main3, corr3)`` on the ``shape3`` tensor
+    form with ``ops`` a traced operand pytree — the vmappable form of
+    :func:`lanczos_sweep_ds` (same-shape sectors batch over stacked operand
+    pytrees; the reference runs sectors strictly serially,
+    ED_DIAG_NORMAL.f90:108)."""
+
+    class _Op:
+        def pair(self, v):
+            m_, c_ = kernel_pair(ops, v.reshape(shape3))
+            return m_.reshape(-1), c_.reshape(-1)
+    return lanczos_sweep_ds(_Op(), v0, m, locked)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4))
+def lanczos_sweep_ds_batch(kernel_pair, shape3, ops_stacked, v0s, m: int,
+                           locked_stacked=None):
+    """B same-shape sectors, one launch: vmap of
+    :func:`lanczos_sweep_ds_ops` over stacked operands / start vectors /
+    locked blocks (pad per-lane locked lists with zero rows — deflating
+    against a zero vector is the identity)."""
+    def one(ops, v0, lk):
+        return lanczos_sweep_ds_ops(kernel_pair, shape3, ops, v0, m, lk)
+    if locked_stacked is None:
+        return jax.vmap(lambda o, v: lanczos_sweep_ds_ops(
+            kernel_pair, shape3, o, v, m, None))(ops_stacked, v0s)
+    return jax.vmap(one)(ops_stacked, v0s, locked_stacked)
+
+
 @partial(jax.jit, static_argnums=(0, 2))
 def lanczos_tridiag_batch(matvec, v0s, m: int):
     """Batched storage-free tridiagonalization: one launch runs B
@@ -501,10 +532,18 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
         # members by exact Rayleigh-Ritz in that block (Davis-Kahan: the
         # rotation error is then ~ δ²·W/gap_inner, with δ the subspace
         # error, instead of ~ δ).
+        # free the restart machinery's multi-GB buffers (last sweep basis,
+        # Ritz block, locked stack) before the polish allocates its own
+        # f64 Krylov basis — on an 11.8M sector the overlap OOMs the chip
+        V = Vd = ritz = locked = None
+        locked_vecs = None
+        # exact-sweep size: a DS-converged start needs few exact steps;
+        # cap the f64 basis near ~1.5 GB on huge sectors
+        m_ref = 36 if dim < (1 << 22) else max(12, (1 << 31) // (dim * 8))
         pol_vals, pol_vecs = [], []
         for i in range(vecs.shape[0]):
             val, vec = _cluster_polish(refine_matvec, _j_row(vecs, i),
-                                       pol_vecs, dim,
+                                       pol_vecs, dim, m_ref=m_ref,
                                        sweep_op=matvec if use_ds else None)
             pol_vals.append(val)
             pol_vecs.append(vec)
@@ -512,6 +551,120 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
         vals = np.asarray(pol_vals)[order]
         vecs = _j_stack([pol_vecs[i] for i in order])
     return vals, vecs
+
+
+def eigsh_lowest_batch(mvs, nevs, m: Optional[int] = None, tol: float = 2e-6,
+                       max_restarts: int = 60):
+    """Lowest eigenpairs of B SAME-SHAPE sectors in lockstep batched DS
+    sweeps — the TPU-native replacement of the reference's serial sector
+    loop (ED_DIAG_NORMAL.f90:108; SURVEY §2.4.1 "sectors are independent").
+
+    ``mvs``: operators sharing ``shape3`` whose class exposes
+    ``kernel_pair(ops, vhi3) -> (main3, corr3)`` (ops.matvec.MixedKronMatvec)
+    plus ``.ops`` operand pytrees, ``.dim`` and optional ``.exact`` for the
+    f64 polish. One ``lanczos_sweep_ds_batch`` launch advances every
+    unconverged sector per restart; converged lanes ride along (their extra
+    sweeps are wasted work bounded by the group's slowest lane — still far
+    ahead of B serial launch sequences). Returns [(vals, vecs), ...]."""
+    B = len(mvs)
+    dim = mvs[0].dim
+    shape3 = mvs[0].shape3
+    kernel_pair = type(mvs[0]).kernel_pair
+    nev_max = max(nevs)
+    if m is None:
+        m = min(dim, max(4 * nev_max + 24, 48))
+    m = min(m, dim)
+    ops_stacked = jax.tree.map(lambda *xs: _stack_impl(*xs),
+                               *[mv.ops for mv in mvs])
+
+    key = _jitted(jax.random.PRNGKey)(23)
+    starts = [_j_randn_t(_jitted(jax.random.fold_in)(key, b), dim,
+                         jnp.float64) for b in range(B)]
+    locked_vecs = [[] for _ in range(B)]
+    locked_vals = [[] for _ in range(B)]
+    done = [False] * B
+    lmax_pad = max(1, nev_max)
+
+    for restart in range(max_restarts):
+        lk = jnp.zeros((B, lmax_pad, dim), jnp.float32)
+        for b in range(B):
+            for j, v in enumerate(locked_vecs[b][:lmax_pad]):
+                lk = lk.at[b, j].set(v.astype(jnp.float32))
+        v0s = _j_stack([s.astype(jnp.float32) if s.dtype != jnp.float32
+                        else s for s in starts])
+        alphas, betas, V = lanczos_sweep_ds_batch(
+            kernel_pair, shape3, ops_stacked, v0s, m, lk)
+        a_all = np.asarray(alphas)
+        b_all = np.asarray(betas)
+        for b in range(B):
+            if done[b]:
+                continue
+            a, bb = a_all[b], b_all[b]
+            k_eff = m
+            tiny = max(1e-14, 10 * np.finfo(np.float64).eps) \
+                * max(1.0, np.abs(a).max())
+            for i in range(m - 1):
+                if bb[i] < tiny:
+                    k_eff = i + 1
+                    break
+            T = np.diag(a[:k_eff])
+            if k_eff > 1:
+                T += np.diag(bb[:k_eff - 1], 1) + np.diag(bb[:k_eff - 1], -1)
+            tvals, tvecs = np.linalg.eigh(T)
+            beta_last = bb[k_eff - 1] if k_eff <= m - 1 else bb[m - 1]
+            want = nevs[b] - len(locked_vals[b])
+            n_take = min(want, k_eff)
+            resids = np.abs(beta_last * tvecs[-1, :n_take])
+            Vb = _j_take_rows(_j_row(V, b), k_eff)
+            ritz = _j_ritz(np.asarray(tvecs[:, :n_take].T, np.float64), Vb)
+            scale = max(1.0, np.abs(tvals).max())
+            newly = 0
+            for j in range(n_take):
+                if resids[j] < tol * scale \
+                        or k_eff >= dim - len(locked_vals[b]):
+                    vec = _j_row(ritz, j)
+                    if locked_vecs[b]:
+                        vec = _j_deflate(_j_stack(locked_vecs[b]), vec)
+                    nrm = float(_j_norm(vec))
+                    if nrm < 1e-10:
+                        continue
+                    locked_vecs[b].append(_j_scale(vec, nrm))
+                    locked_vals[b].append(float(tvals[j]))
+                    newly += 1
+                else:
+                    break
+            if len(locked_vals[b]) >= nevs[b]:
+                done[b] = True
+                continue
+            if newly < n_take:
+                starts[b] = _j_row(ritz, newly)
+            else:
+                key2 = _jitted(jax.random.fold_in)(key, 1000 + restart * B + b)
+                starts[b] = _j_randn_t(key2, dim, jnp.float64)
+        if all(done):
+            break
+    out = []
+    for b in range(B):
+        # accept best available if a lane never fully converged
+        while len(locked_vals[b]) < nevs[b] and locked_vals[b]:
+            locked_vals[b].append(locked_vals[b][-1])
+            locked_vecs[b].append(locked_vecs[b][-1])
+        order = np.argsort(locked_vals[b][:nevs[b]])
+        vals = np.asarray(locked_vals[b])[order]
+        vecs = _j_stack([locked_vecs[b][i] for i in order])
+        exact = getattr(mvs[b], "exact", None)
+        if exact is not None:
+            pol_vals, pol_vecs = [], []
+            for i in range(vecs.shape[0]):
+                val, vec = _cluster_polish(exact, _j_row(vecs, i),
+                                           pol_vecs, dim, sweep_op=mvs[b])
+                pol_vals.append(val)
+                pol_vecs.append(vec)
+            order = np.argsort(pol_vals)
+            vals = np.asarray(pol_vals)[order]
+            vecs = _j_stack([pol_vecs[i] for i in order])
+        out.append((vals, vecs))
+    return out
 
 
 def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
@@ -583,6 +736,7 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
         if k_eff > 1:
             t += np.diag(b2[:k_eff - 1], 1) + np.diag(b2[:k_eff - 1], -1)
         Vd = _j_take_rows(V2, k_eff)                          # (k, dim)
+        V2 = None   # free the (m+1, dim) sweep buffer (multi-GB at 1e7 dim)
         extras = []
         for u in block:
             if deflate:

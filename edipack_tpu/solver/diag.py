@@ -164,9 +164,53 @@ def diagonalize_sites(cfg: EDConfig, table: SectorTable,
                     sls[s].add(EigenState(float(ev[j]), i, vec))
 
     # ---- Lanczos path -------------------------------------------------
+    # same-shape sectors (across sites AND particle-hole partners within a
+    # site) run as ONE lockstep batched-DS-sweep launch instead of the
+    # reference's strictly serial sector loop (ED_DIAG_NORMAL.f90:108;
+    # SURVEY §2.4.1); fused/sharded operators keep per-sector launches.
     import time as _time
     sector_times: List[Tuple] = []
+    groups: Dict[Tuple, List[Tuple[int, int, object]]] = {}
+    singles: List[Tuple[int, int]] = []
     for s, i in lanc_items:
+        mv = matvec_builders[s](table.sector(i))
+        if (cfg.ed_batch_lanczos and type(mv).__name__ == "MixedKronMatvec"
+                and getattr(mv, "_sharding", None) is None):
+            groups.setdefault(mv.shape3, []).append((s, i, mv))
+        else:
+            singles.append((s, i))
+    for shape3, items in groups.items():
+        if len(items) < 2:
+            singles.extend((s, i) for s, i, _ in items)
+            continue
+        dim = int(np.prod(shape3))
+        # bound the batched basis memory (B * (m+1) * dim f32)
+        nev_max = max(min(max(int(neigen[s, i]), 1), dim - 1) or 1
+                      for s, i, _ in items)
+        m = min(dim, max(cfg.lanc_ncv_factor * nev_max + cfg.lanc_ncv_add,
+                         4 * nev_max + 24, 48))
+        max_b = max(2, int((1 << 31) // max(1, (m + 1) * dim * 4)))
+        for lo in range(0, len(items), max_b):
+            chunk = items[lo:lo + max_b]
+            if len(chunk) == 1:
+                singles.append(chunk[0][:2])
+                continue
+            _t0 = _time.perf_counter()
+            from ..ops.lanczos import eigsh_lowest_batch
+            nevs = [min(max(int(neigen[s, i]), 1), dim - 1) or 1
+                    for s, i, _ in chunk]
+            res = eigsh_lowest_batch([mv for _, _, mv in chunk], nevs, m=m,
+                                     tol=max(cfg.lanc_tolerance, 2e-6),
+                                     max_restarts=max(4,
+                                                      cfg.lanc_niter // m))
+            for (s, i, _), (vals, vecs) in zip(chunk, res):
+                evals_by_sector[s][i] = vals
+                for j in range(len(vals)):
+                    sls[s].add(EigenState(float(vals[j]), i, vecs[j]))
+            sector_times.append((chunk[0][1], dim,
+                                 sum(len(v) for v, _ in res),
+                                 _time.perf_counter() - _t0))
+    for s, i in singles:
         _t0 = _time.perf_counter()
         _lanczos_solve_sector(cfg, table, i, matvec_builders[s],
                               neigen[s, i], sls[s], evals_by_sector[s])
