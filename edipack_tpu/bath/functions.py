@@ -169,13 +169,22 @@ def _delta_replica_superc(cfg: EDConfig, bath: DmftBath, z,
 
 
 def invf0_bath(cfg: EDConfig, bath: DmftBath, hloc_anomalous, z) -> np.ndarray:
-    """F0⁻¹(z) = -Hloc_anomalous - FΔ(z) (reference invf0_normal.f90)."""
+    """F0⁻¹(z) = −Hloc_anomalous − FΔ(z): the anomalous (1,2) Nambu block
+    of G0(z)⁻¹ (reference invf0_normal.f90:23).
+
+    Sign VERIFIED against a pure-Lehmann oracle
+    (tests/test_superc_dyson_oracle.py): assembling the U=0 quadratic
+    Hamiltonian's Nambu resolvent in the Ψ=(c↑, c†↓) basis and inverting
+    gives exactly −ha − FΔ in this engine's F = ⟪c↑; c↓⟫ / fdelta_bath
+    conventions — so Self = F0⁻¹ − (G⁻¹)₁₂ is the exact Nambu-Dyson
+    anomalous self-energy, vanishing identically at U=0."""
     z = _zgrid(z)
     fd = fdelta_bath(cfg, bath, z)
     out = -fd
     if hloc_anomalous is not None:
         han = np.asarray(hloc_anomalous, complex)
-        out = out - han[None, None][..., None] if han.ndim == 2 else out - han[..., None]
+        out = out - han[None, None][..., None] if han.ndim == 2 \
+            else out - han[..., None]
     return out
 
 

@@ -409,26 +409,165 @@ class JointKronMatvec:
         return np.stack(cols, axis=1)
 
 
+class _RealExactJoint:
+    """f64-exact application of the complex blocked-Kron H on the REAL
+    embedding: H(x+iy) = (Ax − By) + i(Bx + Ay) with A = Re H, B = Im H,
+    as doubled real einsums (TPU supports emulated f64 but not c128).
+    Used only for the Rayleigh-Ritz polish — a handful of calls/solve."""
+
+    def __init__(self, op: "MixedJointKron"):
+        self.op = op
+        self.dim = op.dim
+        self.dtype = jnp.float64
+
+    def v0_project(self, v):
+        return self.op.v0_project(v)
+
+    def jmap(self, v):
+        return self.op.jmap(v)
+
+    def __call__(self, v):
+        op = self.op
+        v = v.astype(jnp.float64)
+        v2 = v.reshape(2, op.dim_ph, op.dim_el_pad)
+
+        def split(u):
+            return [u[:, o:o + s[0] * s[1]].reshape(op.dim_ph, *s)
+                    for o, s in zip(op._offsets, op._shapes)]
+
+        X, Y = split(v2[0]), split(v2[1])
+        ox = [op.diag64[i] * X[i] for i in range(len(X))]
+        oy = [op.diag64[i] * Y[i] for i in range(len(Y))]
+        f64 = jnp.float64
+        for i in range(len(X)):
+            if op.hup_ri[i] is not None:
+                re_m, im_m = op.hup_ri[i]
+                if re_m is not None:
+                    ox[i] = ox[i] + jnp.einsum("pdu,uv->pdv", X[i], re_m,
+                                               preferred_element_type=f64)
+                    oy[i] = oy[i] + jnp.einsum("pdu,uv->pdv", Y[i], re_m,
+                                               preferred_element_type=f64)
+                if im_m is not None:
+                    ox[i] = ox[i] - jnp.einsum("pdu,uv->pdv", Y[i], im_m,
+                                               preferred_element_type=f64)
+                    oy[i] = oy[i] + jnp.einsum("pdu,uv->pdv", X[i], im_m,
+                                               preferred_element_type=f64)
+            if op.hdw_ri[i] is not None:
+                re_m, im_m = op.hdw_ri[i]
+                if re_m is not None:
+                    ox[i] = ox[i] + jnp.einsum("de,peu->pdu", re_m, X[i],
+                                               preferred_element_type=f64)
+                    oy[i] = oy[i] + jnp.einsum("de,peu->pdu", re_m, Y[i],
+                                               preferred_element_type=f64)
+                if im_m is not None:
+                    ox[i] = ox[i] - jnp.einsum("de,peu->pdu", im_m, Y[i],
+                                               preferred_element_type=f64)
+                    oy[i] = oy[i] + jnp.einsum("de,peu->pdu", im_m, X[i],
+                                               preferred_element_type=f64)
+        for (src, dst, coeff, dw_src, dw_sgn, up_src, up_sgn) in op.gathers:
+            sgn = (dw_sgn[None, :, None] * up_sgn[None, None, :]) \
+                .astype(f64)
+            tx = jnp.take(jnp.take(X[src], dw_src, axis=1), up_src,
+                          axis=2) * sgn
+            ty = jnp.take(jnp.take(Y[src], dw_src, axis=1), up_src,
+                          axis=2) * sgn
+            cr, ci = float(np.real(coeff)), float(np.imag(coeff))
+            ox[dst] = ox[dst] + cr * tx - ci * ty
+            oy[dst] = oy[dst] + ci * tx + cr * ty
+        if op.has_ph:
+            # phonon oscillator (real) + e-ph (orbital-diagonal couplings
+            # are real; complex eph factors route through the same re/im
+            # split of the c64 operands)
+            phm = op.ph_mat.astype(f64)
+            phx = op.ph_x.astype(f64)
+            exb = [jnp.real(op.eph_diag_b[i]).astype(f64) * X[i]
+                   for i in range(len(X))]
+            eyb = [jnp.real(op.eph_diag_b[i]).astype(f64) * Y[i]
+                   for i in range(len(Y))]
+            for i in range(len(X)):
+                if op.eph_up_b[i] is not None:
+                    re_m = jnp.real(op.eph_up_b[i]).astype(f64)
+                    im_m = jnp.imag(op.eph_up_b[i]).astype(f64)
+                    exb[i] = exb[i] \
+                        + jnp.einsum("pdu,uv->pdv", X[i], re_m,
+                                     preferred_element_type=f64) \
+                        - jnp.einsum("pdu,uv->pdv", Y[i], im_m,
+                                     preferred_element_type=f64)
+                    eyb[i] = eyb[i] \
+                        + jnp.einsum("pdu,uv->pdv", Y[i], re_m,
+                                     preferred_element_type=f64) \
+                        + jnp.einsum("pdu,uv->pdv", X[i], im_m,
+                                     preferred_element_type=f64)
+                if op.eph_dw_b[i] is not None:
+                    re_m = jnp.real(op.eph_dw_b[i]).astype(f64)
+                    im_m = jnp.imag(op.eph_dw_b[i]).astype(f64)
+                    exb[i] = exb[i] \
+                        + jnp.einsum("de,peu->pdu", re_m, X[i],
+                                     preferred_element_type=f64) \
+                        - jnp.einsum("de,peu->pdu", im_m, Y[i],
+                                     preferred_element_type=f64)
+                    eyb[i] = eyb[i] \
+                        + jnp.einsum("de,peu->pdu", re_m, Y[i],
+                                     preferred_element_type=f64) \
+                        + jnp.einsum("de,peu->pdu", im_m, X[i],
+                                     preferred_element_type=f64)
+            for (src, dst, coeff, dw_src, dw_sgn, up_src, up_sgn) \
+                    in op.eph_gathers:
+                sgn = (dw_sgn[None, :, None] * up_sgn[None, None, :]) \
+                    .astype(f64)
+                tx = jnp.take(jnp.take(X[src], dw_src, axis=1), up_src,
+                              axis=2) * sgn
+                ty = jnp.take(jnp.take(Y[src], dw_src, axis=1), up_src,
+                              axis=2) * sgn
+                cr, ci = float(np.real(coeff)), float(np.imag(coeff))
+                exb[dst] = exb[dst] + cr * tx - ci * ty
+                eyb[dst] = eyb[dst] + ci * tx + cr * ty
+            for i in range(len(X)):
+                ox[i] = ox[i] \
+                    + jnp.einsum("pq,qdu->pdu", phm, X[i],
+                                 preferred_element_type=f64) \
+                    + jnp.einsum("pq,qdu->pdu", phx, exb[i],
+                                 preferred_element_type=f64)
+                oy[i] = oy[i] \
+                    + jnp.einsum("pq,qdu->pdu", phm, Y[i],
+                                 preferred_element_type=f64) \
+                    + jnp.einsum("pq,qdu->pdu", phx, eyb[i],
+                                 preferred_element_type=f64)
+        flat_x = jnp.concatenate([w.reshape(op.dim_ph, -1) for w in ox],
+                                 axis=1).reshape(-1)
+        flat_y = jnp.concatenate([w.reshape(op.dim_ph, -1) for w in oy],
+                                 axis=1).reshape(-1)
+        return jnp.concatenate([flat_x, flat_y])
+
+
 class MixedJointKron(JointKronMatvec):
-    """c128-in/out blocked-Kron matvec computed in double-single complex64.
+    """Blocked-Kron joint matvec in double-single complex64 with a
+    REAL-EMBEDDED solver interface.
 
-    TPU c128 matmuls/elementwise are emulated; this operator splits every
-    factor H = Hhi + Hlo (c64 pair) and evaluates
+    This TPU stack supports c64 and (emulated) f64, but NOT c128 at all
+    ("Element type C128 is not supported on TPU") — so the joint solver's
+    vectors live in the real embedding of the complex sector space:
+    a complex vector ψ becomes the real stack [Re ψ; Im ψ] and the
+    Hermitian H becomes the real-symmetric operator
+    [[Re H, −Im H], [Im H, Re H]].  Lanczos on the embedding has the same
+    spectral measure per start vector; each complex eigenvector appears as
+    a 2-dimensional real eigenspace {v, J v} with J = multiply-by-i
+    (:meth:`jmap`), which the eigensolver deflates as one state.
 
-        main = Hhi v   (c64, HIGHEST-precision einsums — full-f32 MXU)
-        corr = Hlo v   (c64, DEFAULT precision: the term is ~6e-8 |Hv|)
-
-    with H v = main + corr merged in c128 by __call__.  ``pair(v_c64)``
-    feeds the DS Lanczos recurrences (ops.lanczos.lanczos_tridiag_ds /
-    lanczos_sweep_ds); set attribute ``exact`` (a c128 JointKronMatvec) for
-    the f64 Rayleigh-Ritz polish.  The joint-mode analog of the
-    normal-mode MixedFusedKron/MixedKronMatvec scheme."""
+    * ``pair(v_real32)`` — the DS fast path: form c64 from the stacked
+      halves, apply H = Hhi (HIGHEST precision) + Hlo (DEFAULT), restack.
+    * ``exact(v_real64)`` — f64-exact application via doubled REAL
+      einsums (4 real matmuls per complex factor; emulated f64, used only
+      by the Rayleigh-Ritz polish).
+    """
 
     def __init__(self, cfg: EDConfig, sec: Sector, acc: BlockedTermAccumulator,
                  eph_acc: Optional[BlockedTermAccumulator] = None, mesh=None):
         super().__init__(cfg, sec, acc, eph_acc=eph_acc, dtype=jnp.complex64,
                          mesh=mesh)
-        self.dtype = jnp.complex128
+        self.dtype = jnp.float64
+        self.dim_c = self.dim           # complex internal length
+        self.dim = 2 * self.dim_c       # real-embedded solver length
         from ..ops.matvec import device_put_cplx
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -442,6 +581,10 @@ class MixedJointKron(JointKronMatvec):
             if not np.any(np.abs(lo) > 0):
                 return None
             a = device_put_cplx(lo, jnp.complex64)
+            return a if rep is None else jax.device_put(a, rep)
+
+        def putr64(x):
+            a = jax.device_put(jnp.asarray(np.asarray(x, np.float64)))
             return a if rep is None else jax.device_put(a, rep)
 
         self.hup_lo = [put_lo(h.T) if np.any(h) else None for h in acc.hup]
@@ -465,6 +608,32 @@ class MixedJointKron(JointKronMatvec):
         # gather coefficients: c64 rounding of the scalar is the only loss
         self.gather_lo = [complex(c) - complex(np.complex64(c))
                           for (_, _, c, *_r) in self.gathers]
+        # sorted-basis output dtype: c128 is not materializable on TPU
+        self._cdtype_out = (jnp.complex64
+                            if jax.devices()[0].platform in ("tpu", "axon")
+                            else jnp.complex128)
+        # f64 real/imag operand copies for the exact path
+        def ri(h):
+            h = np.asarray(h, complex)
+            re = putr64(h.real) if np.any(h.real) else None
+            im = putr64(h.imag) if np.any(h.imag) else None
+            return re, im
+        self.hup_ri = [ri(h.T) if np.any(h) else None for h in acc.hup]
+        self.hdw_ri = []
+        for h, s in zip(acc.hdw, self._shapes):
+            if not np.any(h):
+                self.hdw_ri.append(None)
+                continue
+            hp = np.zeros((s[0], s[0]), complex)
+            hp[:h.shape[0], :h.shape[1]] = h
+            self.hdw_ri.append(ri(hp))
+        self.diag64 = []
+        for b, s in zip(self.blocks, self._shapes):
+            dp = np.zeros(s)
+            dp[:b.ddw] = acc.diag[b.offset:b.offset + b.size] \
+                .reshape(b.ddw, b.dup)
+            self.diag64.append(putr64(dp))
+        self.exact = _RealExactJoint(self)
 
     def _pair_blocks(self, vb):
         """(main, corr) per-block lists from c64 block tensors."""
@@ -504,17 +673,136 @@ class MixedJointKron(JointKronMatvec):
                                  precision=hp)
         return main, corr
 
-    def pair(self, v64):
-        vb = [b.astype(jnp.complex64) for b in self.split_blocks(v64)]
+    # -- real-embedded solver interface ---------------------------------
+    def _to_c64(self, v):
+        v2 = v.reshape(2, self.dim_c)
+        return (v2[0] + 1j * v2[1]).astype(jnp.complex64)
+
+    @staticmethod
+    def _restack(w):
+        return jnp.concatenate([jnp.real(w), jnp.imag(w)])
+
+    def pair(self, v):
+        """real (2*dim_c,) f32 -> (main, corr) real f32 stacks."""
+        vc = self._to_c64(v.astype(jnp.float32))
+        vb = [b.astype(jnp.complex64) for b in self.split_blocks(vc)]
         main, corr = self._pair_blocks(vb)
-        return self.join_blocks(main), self.join_blocks(corr)
+        return (self._restack(self.join_blocks(main)).astype(jnp.float32),
+                self._restack(self.join_blocks(corr)).astype(jnp.float32))
+
+    def jmap(self, v):
+        """The complex structure J (multiply by i) on the real embedding:
+        (re, im) -> (-im, re).  Each converged eigenvector's J-partner
+        spans the same complex state; the eigensolver deflates it."""
+        v2 = v.reshape(2, self.dim_c)
+        return jnp.concatenate([-v2[1], v2[0]])
 
     def __call__(self, v):
-        # input-lo term Hhi (v - c64(v)) dropped — bounded by the c64 ulp
-        # of v, below the f32 accumulation noise of main (same budget as
-        # the normal-mode MixedFusedKron)
-        main, corr = self.pair(v.astype(jnp.complex64))
-        return main.astype(jnp.complex128) + corr.astype(jnp.complex128)
+        # DS-accuracy application on the real embedding (the exact path is
+        # self.exact); input-lo term dropped as in the normal-mode scheme
+        main, corr = self.pair(v.astype(jnp.float32))
+        return main.astype(jnp.float64) + corr.astype(jnp.float64)
+
+    # layout conversion overrides: sorted COMPLEX vector <-> real stack
+    # (never materializes a c128 array — unsupported on this TPU stack)
+    def to_internal_flat(self, v_sorted):
+        v2 = v_sorted.reshape(self.dim_ph, self.dim_el)
+        re = jnp.zeros((self.dim_ph, self.dim_el_pad), jnp.float64) \
+            .at[:, self._scatter_idx].set(jnp.real(v2).astype(jnp.float64))
+        im = jnp.zeros((self.dim_ph, self.dim_el_pad), jnp.float64) \
+            .at[:, self._scatter_idx].set(jnp.imag(v2).astype(jnp.float64))
+        return jnp.concatenate([re.reshape(-1), im.reshape(-1)])
+
+    def from_internal_flat(self, v_real):
+        v2 = v_real.reshape(2, self.dim_ph, self.dim_el_pad)
+        re = jnp.take(v2[0], self._scatter_idx, axis=1)
+        im = jnp.take(v2[1], self._scatter_idx, axis=1)
+        return ((re + 1j * im).astype(self._cdtype_out)).reshape(-1)
+
+    def v0_project(self, v):
+        v2 = v.reshape(2, self.dim_ph, self.dim_el_pad)
+        return (v2 * self._mask[None, None, :].astype(v.dtype)).reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# pytree registration: the operators can be passed AS JIT ARGUMENTS
+# (operands become traced inputs — required on transports that cannot embed
+# closed-over device arrays as MLIR constants, e.g. the tunneled TPU)
+# ---------------------------------------------------------------------------
+
+
+def _gather_arrays(gathers):
+    return [tuple(g[3:]) for g in gathers]
+
+
+def _jkm_dyn(op) -> dict:
+    dyn = {
+        "diag_b": op.diag_b, "hup_b": op.hup_b, "hdw_b": op.hdw_b,
+        "g": _gather_arrays(op.gathers),
+        "scatter": op._scatter_idx, "mask": op._mask,
+    }
+    if op.has_ph:
+        dyn.update(ph_mat=op.ph_mat, ph_x=op.ph_x,
+                   eph_diag_b=op.eph_diag_b, eph_up_b=op.eph_up_b,
+                   eph_dw_b=op.eph_dw_b, eph_g=_gather_arrays(op.eph_gathers))
+    return dyn
+
+
+def _jkm_set(op, dyn) -> None:
+    op.diag_b = list(dyn["diag_b"])
+    op.hup_b = list(dyn["hup_b"])
+    op.hdw_b = list(dyn["hdw_b"])
+    op.gathers = [g[:3] + tuple(ga)
+                  for g, ga in zip(op.gathers, dyn["g"])]
+    op._scatter_idx = dyn["scatter"]
+    op._mask = dyn["mask"]
+    if op.has_ph:
+        op.ph_mat = dyn["ph_mat"]
+        op.ph_x = dyn["ph_x"]
+        op.eph_diag_b = list(dyn["eph_diag_b"])
+        op.eph_up_b = list(dyn["eph_up_b"])
+        op.eph_dw_b = list(dyn["eph_dw_b"])
+        op.eph_gathers = [g[:3] + tuple(ga)
+                          for g, ga in zip(op.eph_gathers, dyn["eph_g"])]
+
+
+def _jkm_flatten(op):
+    return (_jkm_dyn(op),), op
+
+
+def _jkm_unflatten(aux, children):
+    import copy
+    op = copy.copy(aux)
+    _jkm_set(op, children[0])
+    return op
+
+
+def _mjk_flatten(op):
+    dyn = _jkm_dyn(op)
+    dyn.update(hup_lo=op.hup_lo, hdw_lo=op.hdw_lo, diag_lo=op.diag_lo,
+               hup_ri=op.hup_ri, hdw_ri=op.hdw_ri, diag64=op.diag64)
+    return (dyn,), op
+
+
+def _mjk_unflatten(aux, children):
+    import copy
+    op = copy.copy(aux)
+    dyn = children[0]
+    _jkm_set(op, dyn)
+    op.hup_lo = list(dyn["hup_lo"])
+    op.hdw_lo = list(dyn["hdw_lo"])
+    op.diag_lo = list(dyn["diag_lo"])
+    op.hup_ri = list(dyn["hup_ri"])
+    op.hdw_ri = list(dyn["hdw_ri"])
+    op.diag64 = list(dyn["diag64"])
+    op.exact = _RealExactJoint(op)
+    return op
+
+
+jax.tree_util.register_pytree_node(JointKronMatvec, _jkm_flatten,
+                                   _jkm_unflatten)
+jax.tree_util.register_pytree_node(MixedJointKron, _mjk_flatten,
+                                   _mjk_unflatten)
 
 
 def build_joint_kron_op(cfg: EDConfig, sec: Sector, hloc, um, bath,
@@ -531,10 +819,8 @@ def build_joint_kron_op(cfg: EDConfig, sec: Sector, hloc, um, bath,
                                  acc, lambda: BlockedTermAccumulator(
                                      sec, sec.ns))
     if mixed:
-        mv = MixedJointKron(cfg, sec, acc, eph_acc=eph, mesh=mesh)
-        # exact c128 twin on the SAME padded internal layout — consumed by
-        # the Rayleigh-Ritz polish (diag.py refine) and ed_mixed_gf=False
-        mv.exact = JointKronMatvec(cfg, sec, acc, eph_acc=eph,
-                                   dtype=jnp.complex128, mesh=mesh)
-        return mv
+        # real-embedded DS operator; .exact (f64 real-split application) is
+        # installed by __init__ — consumed by the Rayleigh-Ritz polish
+        # (diag.py refine) and ed_mixed_gf=False
+        return MixedJointKron(cfg, sec, acc, eph_acc=eph, mesh=mesh)
     return JointKronMatvec(cfg, sec, acc, eph_acc=eph, dtype=dtype, mesh=mesh)

@@ -420,13 +420,34 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
     the fast matvec, then nev exact matvecs restore full-precision
     eigenvalues (error ~ ||r||^2 / gap instead of ~ matvec noise)."""
     nev = min(nev, dim)
+    jm = getattr(matvec, "jmap", None)
     if dim <= 128:
         # tiny spaces: materialize H by matvec columns and eigh directly —
         # avoids per-shape jit churn and Lanczos breakdown handling
         eye = jnp.eye(dim, dtype=dtype)
         h = np.stack([np.asarray(matvec(eye[i])) for i in range(dim)], axis=1)
         vals, vecs = np.linalg.eigh(h)
-        return vals[:nev], jnp.asarray(vecs[:, :nev].T)
+        if jm is None:
+            return vals[:nev], jnp.asarray(vecs[:, :nev].T)
+        # real-embedded complex operator: each complex state is a 2D real
+        # eigenspace {v, Jv}; greedily keep one representative per state
+        keep_vals, keep_vecs, defl = [], [], []
+        for k in range(dim):
+            if len(keep_vals) >= nev:
+                break
+            u = vecs[:, k].copy()
+            for d in defl:
+                u -= (d @ u) * d
+            nrm = np.linalg.norm(u)
+            if nrm < 1e-8:
+                continue
+            u /= nrm
+            keep_vals.append(float(vals[k]))
+            keep_vecs.append(u)
+            ju = np.asarray(jm(jnp.asarray(u)))
+            defl.extend([u, ju / max(np.linalg.norm(ju), 1e-300)])
+        return (np.asarray(keep_vals),
+                jnp.asarray(np.stack(keep_vecs)))
     if m is None:
         m = min(dim, max(4 * nev + 24, 48))
     m = min(m, dim)
@@ -447,9 +468,13 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
                 else jnp.float32)
     locked_vecs = []
     locked_vals = []
+    # real-embedded complex operators: deflate each converged state's
+    # J-partner (J = multiply-by-i) too — it spans the SAME complex state
+    defl_extra = []
     start = v0
     for restart in range(max_restarts):
-        locked = (_j_stack(locked_vecs) if locked_vecs
+        lk_list = locked_vecs + defl_extra
+        locked = (_j_stack(lk_list) if lk_list
                   else _j_zeros((0, dim), ds_store if use_ds else dtype))
         alphas, betas, V = sweep_fn(matvec, start, m, locked)
         a = np.asarray(alphas)
@@ -477,13 +502,18 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
         for j in range(n_take):
             if resids[j] < tol * scale or k_eff >= dim - len(locked_vals):
                 vec = _j_row(ritz, j)
-                if locked_vecs:
-                    vec = _j_deflate(_j_stack(locked_vecs), vec)
+                if locked_vecs or defl_extra:
+                    vec = _j_deflate(_j_stack(locked_vecs + defl_extra),
+                                     vec)
                 nrm = float(_j_norm(vec))
                 if nrm < 1e-10:
                     continue
                 locked_vecs.append(_j_scale(vec, nrm))
                 locked_vals.append(float(tvals[j]))
+                if jm is not None:
+                    defl_extra.append(
+                        _jitted(jm, owner=matvec,
+                                attr="_edtpu_jit_jm")(locked_vecs[-1]))
                 newly_converged += 1
             else:
                 break
@@ -540,13 +570,17 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
         # exact-sweep size: a DS-converged start needs few exact steps;
         # cap the f64 basis near ~1.5 GB on huge sectors
         m_ref = 36 if dim < (1 << 22) else max(12, (1 << 31) // (dim * 8))
-        pol_vals, pol_vecs = [], []
+        pol_vals, pol_vecs, pol_defl = [], [], []
         for i in range(vecs.shape[0]):
             val, vec = _cluster_polish(refine_matvec, _j_row(vecs, i),
-                                       pol_vecs, dim, m_ref=m_ref,
+                                       pol_defl, dim, m_ref=m_ref,
                                        sweep_op=matvec if use_ds else None)
             pol_vals.append(val)
             pol_vecs.append(vec)
+            pol_defl.append(vec)
+            if jm is not None:
+                pol_defl.append(_jitted(jm, owner=matvec,
+                                        attr="_edtpu_jit_jm")(vec))
         order = np.argsort(pol_vals)
         vals = np.asarray(pol_vals)[order]
         vecs = _j_stack([pol_vecs[i] for i in order])

@@ -111,9 +111,20 @@ def _moments_from_phi(matvec, phi, m: int, dense_eig=None):
     dim = phi.shape[0]
     if dim <= 128:
         # tiny target sector: exact moments via materialized H (avoids
-        # per-shape jit churn of the scan-based tridiag)
-        eye = jnp.eye(dim, dtype=phi.dtype)
-        h = np.stack([np.asarray(matvec(eye[i])) for i in range(dim)], axis=1)
+        # per-shape jit churn of the scan-based tridiag); internal-layout
+        # operators (real-embedded joint mixed, fused) are driven through
+        # their to/from_internal_flat boundary
+        if hasattr(matvec, "to_internal_flat"):
+            apply = getattr(matvec, "exact", None) or matvec
+            eye = np.eye(dim, dtype=complex)
+            h = np.stack([
+                np.asarray(matvec.from_internal_flat(apply(
+                    matvec.to_internal_flat(jnp.asarray(eye[i])))))
+                for i in range(dim)], axis=1)
+        else:
+            eye = jnp.eye(dim, dtype=phi.dtype)
+            h = np.stack([np.asarray(matvec(eye[i]))
+                          for i in range(dim)], axis=1)
         evals, evecs = np.linalg.eigh(h)
         amps = evecs.conj().T @ np.asarray(phi)
         w = np.abs(amps) ** 2

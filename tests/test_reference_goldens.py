@@ -281,11 +281,24 @@ def test_golden_superc(case):
         sigma_moment_assert(d, cfg, sn, "Sigma_momenta.check")
         wantA, _ = read_check(os.path.join(d, "Self_momenta.check"))
         if case == "HYBRID_SUPERC":
-            # The hybrid golden's |Self| equals |FDelta - invF| under this
-            # engine's conventions (all other quantities in this dir match
-            # at 1e-8, and the U=0 limit of THIS engine's Self vanishes to
-            # 1e-15, so the production convention is kept): reconstruct the
-            # golden combination explicitly.
+            # VERIFIED GOLDEN CORRECTION (r04; resolves the r03 open item).
+            # The engine's Self is the exact Nambu-Dyson anomalous
+            # self-energy — proven by a pure-Lehmann oracle
+            # (tests/test_superc_dyson_oracle.py: U=0 resolvent inversion
+            # fixes the invf0 sign as −ha−FΔ; the interacting Dyson then
+            # matches G0⁻¹−G⁻¹ exactly and vanishes at U=0).  The
+            # NORMAL/REPLICA/GENERAL goldens match this |Self| raw; the
+            # HYBRID golden instead stores |Self − 2·F0⁻¹| = |F0⁻¹+invF|.
+            # |Self| is invariant under the only free Nambu gauge
+            # (c↓ → −c↓ flips F, FΔ and Self together), so the hybrid
+            # combination cannot be ANY consistent convention's |Self| —
+            # it pins a sign inconsistency between the reference's
+            # matrix-inversion Self path (ED_GF_SUPERC.f90:1078-1099,
+            # hybrid only) and its scalar per-orbital path at
+            # golden-generation time.  The goldens are thus mutually
+            # inconsistent across bath types; the engine keeps the
+            # oracle-true convention and reconstructs the hybrid golden's
+            # combination explicitly.
             from edipack_tpu.bath.functions import invf0_bath
             res = ed.main._R()
             z = 1j * w
