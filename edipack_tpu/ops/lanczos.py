@@ -86,19 +86,27 @@ def _j_deflate(lk, v):
     # (m, dim) basis to the vector's f64 materializes multiple
     # multi-GB temps (the r03 gs OOM: 42.6G HBM for dim 1.2e7, m 36);
     # the f32-coefficient error (~1e-7) matches the basis's own precision
-    proj = jnp.conj(lk) @ v.astype(lk.dtype)
-    return v - (proj @ lk).astype(v.dtype)
+    hp = jax.lax.Precision.HIGHEST
+    proj = jnp.matmul(jnp.conj(lk), v.astype(lk.dtype), precision=hp)
+    return v - jnp.matmul(proj, lk, precision=hp).astype(v.dtype)
 
 
 @jax.jit
 def _j_deflate_one(e, u):
-    return u - jnp.vdot(e, u) * e
+    # vdot lowers to dot_general — explicit HIGHEST (TPU DEFAULT is bf16)
+    p = jnp.matmul(jnp.conj(e)[None, :], u[:, None],
+                   precision=jax.lax.Precision.HIGHEST)[0, 0]
+    return u - p * e
 
 
 @jax.jit
 def _j_ritz(t_real, vd):
-    """(n, k) real host coefficients x (k, dim) device basis."""
-    return t_real.astype(vd.dtype) @ vd
+    """(n, k) real host coefficients x (k, dim) device basis.
+    Explicit HIGHEST everywhere a basis is contracted: TPU DEFAULT matmul
+    precision is 1-pass bf16 — extraction/deflation at bf16 injects ~1e-2
+    errors into eigenvectors."""
+    return jnp.matmul(t_real.astype(vd.dtype), vd,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @jax.jit
@@ -149,9 +157,17 @@ def _sweep_body(matvec, reorth_every):
         # exact Rayleigh-Ritz refine recovers full precision.
         m = V.shape[0]
         mask = (jnp.arange(m) <= i).astype(store)
+        hp = jax.lax.Precision.HIGHEST
         for _ in range(2):
-            proj = jnp.conj(V) @ w.astype(store)
-            w = w - ((proj * mask) @ V).astype(w.dtype)
+            # explicit HIGHEST: TPU DEFAULT matmul precision is 1-pass bf16
+            # — reorthogonalization at bf16 silently destroys the basis
+            # (observed: 'exact' polish rounds DIVERGING on the flagship)
+            proj = jax.lax.dot_general(jnp.conj(V), w.astype(store),
+                                       (((1,), (0,)), ((), ())),
+                                       precision=hp)
+            w = w - jax.lax.dot_general(proj * mask, V,
+                                        (((0,), (0,)), ((), ())),
+                                        precision=hp).astype(w.dtype)
         beta = jnp.linalg.norm(w)
         v_next = jnp.where(beta > 0, w / jnp.where(beta > 0, beta, 1.0), 0.0 * w)
         V = V.at[i + 1].set(v_next.astype(store))
@@ -174,15 +190,14 @@ def lanczos_sweep(matvec, v0, m: int, locked=None):
 
     if locked is not None and locked.shape[0] > 0:
         def mv(v):
-            w = matvec(v)
-            return w - (jnp.conj(locked) @ w) @ locked
+            return _j_deflate(locked, matvec(v))
     else:
         def mv(v):
             return matvec(v)
 
     v0 = v0 / jnp.linalg.norm(v0)
     if locked is not None and locked.shape[0] > 0:
-        v0 = v0 - (jnp.conj(locked) @ v0) @ locked
+        v0 = _j_deflate(locked, v0)
         v0 = v0 / jnp.linalg.norm(v0)
 
     # huge sectors: the (m+1, dim) Krylov basis at f64 (~5GB at dim 1.2e7,
@@ -745,12 +760,25 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
     m_ref = min(m_ref, dim - 1) or 1
     mvj = _jitted(matvec)
     block = [vec]
-    val = float(_j_vdot_real(vec, mvj(vec)))
-    best = (np.inf, val, vec)
-    start = vec
+    hv0 = mvj(vec)
+    val = float(_j_vdot_real(vec, hv0))
+    rvec0 = _j_axpy(hv0, val, vec)
+    resid0 = float(_j_norm(rvec0))
+    # the input's exact residual is the baseline: a noisy round can never
+    # make the returned pair worse than what came in (on near-degenerate
+    # multiplets the DS-round Rayleigh-Ritz rotates O(1) inside the
+    # multiplet — tridiag noise 1e-6·|H| over inner gaps ~1e-4)
+    best = (resid0, val, vec)
+    if resid0 < rtol * max(1.0, abs(val)):
+        return val, vec
+    # round 0 expands from the RESIDUAL direction (starting the sweep at
+    # the eigenvector itself annihilates the carried block against the
+    # Krylov basis and leaves a pure noisy-RR extraction)
+    start = _j_scale(rvec0, resid0)
     ds_active = sweep_op is not None
     ds_rounds = 0
-    prev_resid = np.inf
+    prev_resid = resid0
+    _last_val = [np.inf, 0]   # [last Rayleigh value, stagnant-round count]
     for _round in range(max_rounds):
         lk = (_j_stack(deflate) if deflate
               else _j_zeros((0, dim), dtype))
@@ -828,6 +856,16 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
             best = (resid, val, vec)
         if resid < rtol * scale:
             break
+        # value-stagnation stop: on huge sectors the residual floors at the
+        # f32-stored-basis level (~1e-6·|H|) while the Rayleigh value has
+        # long converged — two rounds without value motion end the polish
+        if abs(val - _last_val[0]) <= max(1e-13, 0.05 * rtol) * scale:
+            _last_val[1] += 1
+            if _last_val[1] >= 2:
+                break
+        else:
+            _last_val[1] = 0
+        _last_val[0] = val
         ds_rounds += 1 if ds_active else 0
         if ds_active and (resid > 0.5 * prev_resid
                           or resid < 2e-5 * scale
@@ -881,12 +919,15 @@ def _j_inner(a, b):
         acc = (jnp.complex128 if jnp.issubdtype(a.dtype, jnp.complexfloating)
                else jnp.float64)
         return part.astype(acc).sum(axis=-1)
-    return jnp.conj(a) @ b.T
+    return jnp.matmul(jnp.conj(a), b.T,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @jax.jit
 def _j_combine2(c1, c2, vd, e):
-    return c1.astype(vd.dtype) @ vd + c2.astype(vd.dtype) @ e
+    hp = jax.lax.Precision.HIGHEST
+    return jnp.matmul(c1.astype(vd.dtype), vd, precision=hp) \
+        + jnp.matmul(c2.astype(vd.dtype), e, precision=hp)
 
 
 def _j_ritzc(c, vd):
@@ -897,7 +938,8 @@ def _j_ritzc(c, vd):
 
 @jax.jit
 def _j_ritzc_impl(cr, ci, vd):
-    return (cr + 1j * ci).astype(vd.dtype) @ vd
+    return jnp.matmul((cr + 1j * ci).astype(vd.dtype), vd,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _j_combine2c(c1, c2, vd, e):
@@ -909,8 +951,9 @@ def _j_combine2c(c1, c2, vd, e):
 
 @jax.jit
 def _j_combine2c_impl(c1r, c1i, c2r, c2i, vd, e):
-    return (c1r + 1j * c1i).astype(vd.dtype) @ vd \
-        + (c2r + 1j * c2i).astype(vd.dtype) @ e
+    hp = jax.lax.Precision.HIGHEST
+    return jnp.matmul((c1r + 1j * c1i).astype(vd.dtype), vd, precision=hp) \
+        + jnp.matmul((c2r + 1j * c2i).astype(vd.dtype), e, precision=hp)
 
 
 @jax.jit

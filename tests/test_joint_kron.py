@@ -163,32 +163,82 @@ def test_solve_with_blocked_kron_matches_ell(mode, kw):
                 ed_verbose=0, lanc_dim_threshold=32, **kw)
     hloc = _hloc(default_config(**base), soc=(mode == "nonsu2"))
     res = {}
-    for jk, mm in (("never", "auto"), ("always", "auto"),
-                   ("always", "always")):
-        # ("always","always") = the PRODUCTION TPU path on CPU: the
-        # real-embedded MixedJointKron DS operator + f64 exact polish
+    for jk in ("never", "always"):
+        cfg = default_config(**base, ed_joint_kron=jk)
+        um = build_umatrix(cfg)
+        bath = init_bath(cfg)
+        res[jk] = solve_impurity(cfg, hloc, um, bath)
+    a, b = res["never"], res["always"]
+    assert abs(a.e0 - b.e0) < 1e-9, (a.e0, b.e0)
+    np.testing.assert_allclose(np.asarray(a.dens), np.asarray(b.dens),
+                               atol=1e-8)
+    z = 1j * (2 * np.arange(12) + 1) * np.pi / 50.0
+    np.testing.assert_allclose(np.asarray(a.get_gimp(z)),
+                               np.asarray(b.get_gimp(z)), atol=1e-7)
+    if mode == "superc":
+        np.testing.assert_allclose(np.asarray(a.get_gimp(z, typ="a")),
+                                   np.asarray(b.get_gimp(z, typ="a")),
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(a.phisc), np.asarray(b.phisc),
+                                   atol=1e-8)
+
+
+def test_solve_mixed_joint_smoke():
+    """FAST production-path smoke: the real-embedded MixedJointKron DS
+    operator + f64 exact polish (ed_joint_kron/ed_mixed_matvec = always)
+    end-to-end on a small superc problem, vs the exact ELL solve.  The
+    full two-orbital matrix lives in the slow tier
+    (test_solve_mixed_joint_full)."""
+    from edipack_tpu.solver.core import solve_impurity
+    base = dict(norb=1, nbath=2, ed_mode="superc", nspin=1, uloc=[-1.5],
+                deltasc=0.12, xmu=0.1, beta=50.0, lmats=12, ed_verbose=0,
+                lanc_dim_threshold=8)
+    res = {}
+    for jk, mm in (("never", "never"), ("always", "always")):
         cfg = default_config(**base, ed_joint_kron=jk, ed_mixed_matvec=mm)
         um = build_umatrix(cfg)
         bath = init_bath(cfg)
-        res[(jk, mm)] = solve_impurity(cfg, hloc, um, bath)
-    a = res[("never", "auto")]
+        res[jk] = solve_impurity(cfg, np.zeros((1, 1, 1, 1)), um, bath)
+    a, b = res["never"], res["always"]
+    assert abs(a.e0 - b.e0) < 1e-8, (a.e0, b.e0)
     z = 1j * (2 * np.arange(12) + 1) * np.pi / 50.0
-    for key, gtol in ((("always", "auto"), 1e-7), (("always", "always"),
-                                                   2e-5)):
-        b = res[key]
-        assert abs(a.e0 - b.e0) < 1e-8, (key, a.e0, b.e0)
-        np.testing.assert_allclose(np.asarray(a.dens), np.asarray(b.dens),
-                                   atol=1e-6, err_msg=str(key))
-        np.testing.assert_allclose(np.asarray(a.get_gimp(z)),
-                                   np.asarray(b.get_gimp(z)), atol=gtol,
-                                   err_msg=str(key))
-        if mode == "superc":
-            np.testing.assert_allclose(np.asarray(a.get_gimp(z, typ="a")),
-                                       np.asarray(b.get_gimp(z, typ="a")),
-                                       atol=gtol, err_msg=str(key))
-            np.testing.assert_allclose(np.asarray(a.phisc),
-                                       np.asarray(b.phisc), atol=1e-6,
-                                       err_msg=str(key))
+    np.testing.assert_allclose(np.asarray(a.get_gimp(z)),
+                               np.asarray(b.get_gimp(z)), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(a.get_gimp(z, typ="a")),
+                               np.asarray(b.get_gimp(z, typ="a")), atol=2e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode,kw", [
+    ("superc", dict(nspin=1, uloc=[-1.4, -1.1], ust=0.3, deltasc=0.1,
+                    xmu=0.2)),
+    ("nonsu2", dict(nspin=2, uloc=[1.5, 1.3], ust=0.5, jh=0.2, jx=0.2,
+                    jp=0.2, spin_field_x=[0.1, 0.05], xmu=0.4)),
+])
+def test_solve_mixed_joint_full(mode, kw):
+    """PRODUCTION TPU path on CPU, full two-orbital matrix: the
+    real-embedded DS operator through the whole solve (slow: every joint
+    sector shape compiles its DS sweep/tridiag; jax caches are cleared
+    between variants to dodge the jaxlib live-executable segfault)."""
+    import jax
+    from edipack_tpu.solver.core import solve_impurity
+    base = dict(norb=2, nbath=2, ed_mode=mode, beta=50.0, lmats=12,
+                ed_verbose=0, lanc_dim_threshold=32, **kw)
+    hloc = _hloc(default_config(**base), soc=(mode == "nonsu2"))
+    cfg = default_config(**base, ed_joint_kron="never")
+    um = build_umatrix(cfg)
+    a = solve_impurity(cfg, hloc, um, init_bath(cfg))
+    za = np.asarray(a.get_gimp(1j * (2 * np.arange(12) + 1) * np.pi / 50.0))
+    e0a, densa = a.e0, np.asarray(a.dens).copy()
+    jax.clear_caches()
+    cfg = default_config(**base, ed_joint_kron="always",
+                         ed_mixed_matvec="always")
+    um = build_umatrix(cfg)
+    b = solve_impurity(cfg, hloc, um, init_bath(cfg))
+    zb = np.asarray(b.get_gimp(1j * (2 * np.arange(12) + 1) * np.pi / 50.0))
+    assert abs(e0a - b.e0) < 1e-8, (e0a, b.e0)
+    np.testing.assert_allclose(densa, np.asarray(b.dens), atol=1e-6)
+    np.testing.assert_allclose(za, zb, atol=2e-5)
 
 
 def test_mixed_joint_kron_ds_parity():
