@@ -111,4 +111,10 @@ def test_eigsh_huge_dim_f32_basis_storage():
     vals, vecs = eigsh_lowest(mv, n, 1, dtype=jnp.float64, m=24, tol=1e-9,
                               max_restarts=6, refine_matvec=mv)
     assert abs(float(vals[0]) - 0.123456789) < 1e-8
-    assert vecs.dtype == jnp.float32   # reduced-precision basis storage
+    # the Krylov basis is stored f32 internally; the POLISHED eigenvectors
+    # come back upcast to the working f64 (post-r04 polish contract)
+    assert vecs.dtype == jnp.float64
+    # and without the refine pass, the raw reduced-precision vectors leak
+    vals2, vecs2 = eigsh_lowest(mv, n, 1, dtype=jnp.float64, m=24, tol=1e-9,
+                                max_restarts=6)
+    assert vecs2.dtype == jnp.float32  # reduced-precision basis storage
