@@ -415,8 +415,13 @@ def _joint_rate(mv, K, seed=0, pair=False):
 
     f = jax.jit(lambda op, v: jnp.abs(jax.lax.scan(
         lambda u, _: (step(op, u), None), v, None, length=K)[0][0]))
-    v = device_put_cplx(rng.normal(size=mv.dim)
-                        + 1j * rng.normal(size=mv.dim), jnp.complex64)
+    if pair:
+        # the real-embedded DS operator: real f32 stacked vectors
+        v = jax.device_put(jnp.asarray(
+            rng.normal(size=mv.dim).astype(np.float32)))
+    else:
+        v = device_put_cplx(rng.normal(size=mv.dim)
+                            + 1j * rng.normal(size=mv.dim), jnp.complex64)
     _ = float(f(mv, v))
     t0 = time.time()
     _ = float(f(mv, v))
