@@ -77,6 +77,12 @@ def main():
     for name, tmo in (("superc", 900), ("nonsu2", 900), ("phonon", 900),
                       ("gs", 1500)):
         r = run_section(name, tmo)
+        if (r is None or r.get("section_error")) and name == "gs":
+            # the tunneled TPU's compile helper wedges on roughly half of
+            # the long gs compile sequences — one retry usually lands
+            print("[bench] retrying gs once (tunnel wedge?)",
+                  file=sys.stderr)
+            r = run_section(name, tmo) or r
         if r:
             extra.update(r.get("extra", {}))
     # multi-device scaling ratio on the virtual CPU mesh (BASELINE.md north

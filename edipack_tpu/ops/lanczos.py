@@ -479,6 +479,10 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
     use_ds = hasattr(matvec, "pair")
     sweep_fn = lanczos_sweep_ds if use_ds else lanczos_sweep
 
+    import os as _os
+    import time as _time
+    _dbg = bool(_os.environ.get("EDTPU_DEBUG_EIGSH"))
+    _t0 = _time.perf_counter()
     ds_store = (jnp.complex64 if jnp.issubdtype(dtype, jnp.complexfloating)
                 else jnp.float32)
     locked_vecs = []
@@ -494,6 +498,11 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
         alphas, betas, V = sweep_fn(matvec, start, m, locked)
         a = np.asarray(alphas)
         b = np.asarray(betas)
+        if _dbg:
+            print(f"[eigsh] restart {restart} sweep+fetch "
+                  f"{_time.perf_counter() - _t0:.2f}s locked="
+                  f"{len(locked_vals)}", flush=True)
+            _t0 = _time.perf_counter()
         # truncate at breakdown (invariant subspace found)
         k_eff = m
         tiny = max(1e-14, 10 * np.finfo(np.float64).eps) * max(1.0, np.abs(a).max())
@@ -586,10 +595,19 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
         # cap the f64 basis near ~1.5 GB on huge sectors
         m_ref = 36 if dim < (1 << 22) else max(12, (1 << 31) // (dim * 8))
         pol_vals, pol_vecs, pol_defl = [], [], []
+        if _dbg:
+            print(f"[eigsh] restarts done, entering polish "
+                  f"{_time.perf_counter() - _t0:.2f}s after last sweep",
+                  flush=True)
+            _t0 = _time.perf_counter()
         for i in range(vecs.shape[0]):
             val, vec = _cluster_polish(refine_matvec, _j_row(vecs, i),
                                        pol_defl, dim, m_ref=m_ref,
                                        sweep_op=matvec if use_ds else None)
+            if _dbg:
+                print(f"[eigsh] polish vec {i}: "
+                      f"{_time.perf_counter() - _t0:.2f}s", flush=True)
+                _t0 = _time.perf_counter()
             pol_vals.append(val)
             pol_vecs.append(vec)
             pol_defl.append(vec)
