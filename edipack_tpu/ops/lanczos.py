@@ -476,7 +476,8 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
         # so spurious zero-modes of the pad block never enter the Krylov space
         v0 = _jitted(matvec.v0_project, owner=matvec, attr="_edtpu_jit_v0p")(v0)
 
-    use_ds = hasattr(matvec, "pair")
+    use_ds = hasattr(matvec, "pair") and getattr(matvec,
+                                                 "ds_recurrence_ok", True)
     sweep_fn = lanczos_sweep_ds if use_ds else lanczos_sweep
 
     import os as _os

@@ -574,6 +574,11 @@ class MixedFusedKron:
         self.dim = fop.n_internal
         self.dtype = jnp.float64
         self.nnz = fop.nnz
+        # interpret-mode pallas (CPU tests) unrolls the kernel grid into the
+        # HLO; scanning that inside the DS Lanczos recurrences produces a
+        # program XLA:CPU segfaults COMPILING — the DS drivers fall back to
+        # the (r03-proven) f64 recurrence off-TPU
+        self.ds_recurrence_ok = not _interpret()
         self._ds = FusedMatvecDS(fop, hi_precision=hi_precision)
         self._idx = jax.device_put(jnp.asarray(fop.internal_index_map()))
         mask = np.zeros(fop.n_internal, np.float64)

@@ -135,7 +135,7 @@ def _moments_from_phi(matvec, phi, m: int, dense_eig=None):
         # fused-kernel matvec: Krylov runs in the padded imp-MSB internal
         # layout; the conversion is a norm-preserving permutation+padding
         phi = matvec.to_internal_flat(jnp.asarray(phi))
-    if hasattr(matvec, "pair"):
+    if hasattr(matvec, "pair") and getattr(matvec, "ds_recurrence_ok", True):
         # double-single operator (TPU): f32 recurrence + f64-accumulated
         # dots — the f64 variant's emulated elementwise body costs ~27x the
         # matvec on large sectors (ops.lanczos.lanczos_tridiag_ds)
@@ -189,7 +189,8 @@ def _moments_from_phis(matvec, phis, m: int):
     m = max(2, m)
     if len(phis) == 1 or hasattr(matvec, "to_internal_flat"):
         return [_moments_from_phi(matvec, phi, m) for phi in phis]
-    use_ds = hasattr(matvec, "pair")
+    use_ds = hasattr(matvec, "pair") and getattr(matvec,
+                                                 "ds_recurrence_ok", True)
     dim = int(np.prod(np.asarray(phis[0]).shape))
     # chunk so the batched scan's live vectors (~4 per chain) stay bounded
     max_b = max(2, int((1 << 28) // max(1, 4 * dim * 16)))
