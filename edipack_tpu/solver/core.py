@@ -284,6 +284,15 @@ def _normal_builders(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
                 if shard_it:
                     from ..parallel.mesh import shard_kron_matvec
                     mv = shard_kron_matvec(mv, _mesh)
+            if cfg.ed_verbose >= 4:
+                # _DEBUG-level path tracing (reference -D_DEBUG prints the
+                # per-sector build/split decisions,
+                # ED_HAMILTONIAN_NORMAL.f90:75-156)
+                print(f"[edipack_tpu:DEBUG] sector {sec.index} "
+                      f"dim={sec.dim} (dw={sec.dim_dw}, up={sec.dim_up}, "
+                      f"ph={sec.dim_ph}) -> {type(mv).__name__}"
+                      f"{' sharded(dw/' + str(_ndev) + ')' if shard_it else ''}"
+                      f"{' mixed-DS' if mixed else ''}")
             mv_cache[sec.index] = mv
         return mv_cache[sec.index]
 

@@ -329,10 +329,19 @@ def eval_gf_nonsu2(cfg: EDConfig, gf: GFMatrix, z):
                 continue
             (s1, a) = keys[i1]
             (s2, b) = keys[i2]
+            gdd = g[s1, s1, a, a] + g[s2, s2, b, b]
             aux = gf.eval(key, z)
-            gab = 0.5 * (aux - (1 - 1j) * (g[s1, s1, a, a] + g[s2, s2, b, b]))
-            g[s1, s2, a, b] = gab
-            g[s2, s1, b, a] = gab
+            g[s1, s2, a, b] = 0.5 * (aux - (1 - 1j) * gdd)
+            # Transpose element WITHOUT extra Lanczos channels: both aux
+            # sub-correlators <<O;O†>> (O = c_i + c_j) and <<Q;Q†>>
+            # (Q = c_i - i c_j) have real Lehmann weights, so
+            # conj(aux(z*)) = A(z) + i B'(z) = (1+i)(G_ii+G_jj) + 2 G_ji —
+            # the exact resolvent identity G_ji(z) = conj(G_ij(z*)).
+            # Mirroring G_ji := G_ij instead is only valid for real H and
+            # corrupts complex spin-mixing (SOC) cases
+            # (tests/test_nonsu2_dyson_oracle.py).
+            auxc = np.conj(gf.eval(key, np.conj(z)))
+            g[s2, s1, b, a] = 0.5 * (auxc - (1 + 1j) * gdd)
     return g
 
 
@@ -664,6 +673,16 @@ def solve_impurity_joint(cfg: EDConfig, hloc, um: Umatrix, bath: DmftBath,
                 if _mesh is not None and sec.dim > 4 * cfg.lanc_dim_threshold:
                     from ..parallel.mesh import shard_joint_matvec
                     mv = shard_joint_matvec(mv, _mesh)
+            if cfg.ed_verbose >= 4:
+                # _DEBUG-level path tracing (reference -D_DEBUG,
+                # ED_HAMILTONIAN_SUPERC.f90 build prints)
+                nblk = len(getattr(mv, "blocks", []) or [])
+                print(f"[edipack_tpu:DEBUG] joint sector {sec.index} "
+                      f"qn={sec.qn} dim={sec.dim} -> {type(mv).__name__}"
+                      + (f" blocks={nblk}" if nblk else "")
+                      + (" sharded" if getattr(mv, "mesh", None) is not None
+                         or getattr(mv, "_el_padded", None) is not None
+                         else ""))
             mv_cache[sec.index] = mv
         return mv_cache[sec.index]
 

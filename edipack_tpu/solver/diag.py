@@ -109,6 +109,13 @@ def diagonalize_sites(cfg: EDConfig, table: SectorTable,
         b = _pad_pow2_bucket(table.get_dim(i))
         buckets.setdefault(b, []).append((s, i))
     for bsize, items in sorted(buckets.items()):
+        if cfg.ed_verbose >= 4:
+            # _DEBUG-level bucket-assembly tracing (reference -D_DEBUG,
+            # ED_DIAG_NORMAL.f90 per-sector prints)
+            print(f"[edipack_tpu:DEBUG] dense bucket pad={bsize}: "
+                  f"{len(items)} (site, sector) items "
+                  f"{[(s, i) for s, i in items[:12]]}"
+                  f"{'...' if len(items) > 12 else ''}")
         # chunk very large batches to bound memory AND the host->device
         # transfer size (~64MB/chunk at c128; large single device_puts are
         # punishing on slow transports)
@@ -183,6 +190,9 @@ def diagonalize_sites(cfg: EDConfig, table: SectorTable,
         if len(items) < 2:
             singles.extend((s, i) for s, i, _ in items)
             continue
+        if cfg.ed_verbose >= 4:
+            print(f"[edipack_tpu:DEBUG] lockstep Lanczos batch "
+                  f"shape={shape3}: {[(s, i) for s, i, _ in items]}")
         dim = int(np.prod(shape3))
         # bound the batched basis memory (B * (m+1) * dim f32)
         nev_max = max(min(max(int(neigen[s, i]), 1), dim - 1) or 1
