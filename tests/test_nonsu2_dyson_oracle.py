@@ -104,6 +104,24 @@ def test_nonsu2_sigma_exact_dyson():
                                        err_msg=f"Sigma[{s1}{s2}]")
 
 
+def test_nonsu2_gf_real_axis_transpose():
+    """Real-axis (w + i*eta) G_ji must equal the Lehmann truth, not the
+    mirrored G_ij — exercises the conj(z) evaluation branch of
+    eval_gf_nonsu2 off the Matsubara axis."""
+    hloc = _hloc_soc()
+    cfg, um, bath, res = _solve(hloc, 1.7)
+    ns = cfg.norb + cfg.nbath
+    orc = FockOracle(ns, convention="joint")
+    h = oracle_nonsu2_hamiltonian(orc, cfg, hloc, um, bath).toarray()
+    z = np.linspace(-2.0, 2.0, 9) + 0.05j
+    g_leh = _lehmann_spin(orc, h, 1, z)
+    g_eng = np.asarray(res.get_gimp(z))
+    for s1 in range(2):
+        for s2 in range(2):
+            np.testing.assert_allclose(g_leh[s1, s2], g_eng[s1, s2, 0, 0],
+                                       atol=1e-7, err_msg=f"Gr[{s1}{s2}]")
+
+
 def test_nonsu2_sigma_vanishes_at_u0():
     hloc = _hloc_soc()
     cfg, um, bath, res = _solve(hloc, 0.0, hfmode=False)
