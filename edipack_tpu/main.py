@@ -93,6 +93,16 @@ class EDSolver:
             h = h.reshape(ns, no, ns, no).transpose(0, 2, 1, 3)
         if h.shape != (ns, ns, no, no):
             raise ValueError(f"bad Hloc shape {h.shape}")
+        if self.cfg.ed_mode == "normal" and np.abs(h.imag).max() > 1e-12:
+            # normal mode is real-by-design here (factor-based real f64
+            # operators; the reference's default real build silently takes
+            # dreal(impHloc) too, and only its _CMPLX_NORMAL variant adds
+            # the extra (1, i) GF combos, ED_GF_NORMAL.f90:180-280).
+            # Complex local Hamiltonians are fully supported in nonsu2.
+            raise ValueError(
+                "complex Hloc in ed_mode=normal would be silently "
+                "truncated to its real part; use ed_mode=nonsu2 for "
+                "complex (e.g. SOC) local Hamiltonians")
         self.hloc = h
         if hloc_anomalous is not None:
             ha = np.asarray(hloc_anomalous, dtype=complex)

@@ -160,3 +160,20 @@ def test_replica_basis_mutators_and_bath_read(tmp_path, monkeypatch):
     E.ed_save_array_as_bath(arr)
     back = E.ed_read_dmft_bath()
     np.testing.assert_allclose(np.asarray(back), np.asarray(arr))
+
+
+def test_complex_hloc_rejected_in_normal_mode(tmp_path):
+    """Normal mode is real-by-design: a genuinely complex Hloc must raise
+    (silent dreal truncation, reference real-build behavior, is refused);
+    complex-typed real values and nonsu2 complex Hloc stay accepted."""
+    os.chdir(tmp_path)
+    cfg = default_config(norb=2, nbath=2, nspin=1, ed_verbose=0)
+    set_config(cfg)
+    ed.main.ed_init_solver(cfg=cfg)
+    h = np.zeros((1, 1, 2, 2), complex)
+    h[0, 0, 0, 1] = 0.1 + 0.05j
+    h[0, 0, 1, 0] = 0.1 - 0.05j
+    with pytest.raises(ValueError, match="nonsu2"):
+        ed.main.ed_set_hloc(h)
+    ed.main.ed_set_hloc(h.real.astype(complex))   # real-valued: fine
+    ed.main.ed_finalize_solver()
