@@ -86,14 +86,22 @@ def main():
         if r:
             extra.update(r.get("extra", {}))
     # multi-device scaling ratio on the virtual CPU mesh (BASELINE.md north
-    # star; real multi-chip hardware is not reachable from this host)
-    r = run_section("scaling", 1200, env_extra={
-        "JAX_PLATFORMS": "cpu",
-        "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
-                      + " --xla_force_host_platform_device_count=8").strip(),
-    })
-    if r:
-        extra.update(r.get("extra", {}))
+    # star; real multi-chip hardware is not reachable from this host).
+    # 2 virtual devices on the 2 physical cores is the compute-honest point
+    # (1 core per device); 8 devices oversubscribe the host 4x and only
+    # validate that the sharded program runs.
+    base_flags = " ".join(
+        f for f in os.environ.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    for ndev in (2, 8):
+        r = run_section("scaling", 1200, env_extra={
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": (base_flags
+                          + f" --xla_force_host_platform_device_count={ndev}"
+                          ).strip(),
+        })
+        if r:
+            extra.update(r.get("extra", {}))
     if rate_ds is None:
         r = run_section("xla", 900)
         if r:
@@ -152,9 +160,16 @@ def section_main(section):
     hbm_bw = {"tpu": 819e9, "axon": 819e9}.get(platform, 100e9)  # bytes/s
     roofline_csr = hbm_bw / 10.0   # nnz/s for a memory-bound CSR SpMV
 
-    extra = {"build_s": round(t_build, 2), "platform": platform}
+    # per-section platform provenance: one shared "platform" key was
+    # overwritten by whichever section merged last (the r04 record
+    # self-reported "cpu" because the intentionally-CPU scaling section ran
+    # last) — every section now records its own platform
+    extra = {"build_s": round(t_build, 2), f"platform_{section}": platform}
     rate_ds = None
     err = None
+    if section in ("fused", "gs") and platform not in ("tpu", "axon"):
+        # TPU-only sections must not silently publish CPU numbers
+        err = f"requires_tpu_got_{platform}"
     print(f"[bench] platform={platform} build={t_build:.2f}s "
           f"roofline_csr={roofline_csr:.3e} nnz/s section={section}",
           file=sys.stderr)
@@ -269,6 +284,19 @@ def bench_fused(op, cfg, roofline_csr, extra):
         extra["ds_matvec_rel_err"] = rel
         print(f"[bench] DS matvec rel err vs exact f64: {rel:.2e}",
               file=sys.stderr)
+        # the f32 kernel's own error: its MXU passes run bf16-class
+        # operand precision (ops/pallas_fused.py one-pass design) — record
+        # it next to the DS error so the headline f32 number carries its
+        # accuracy class (VERDICT r04 weak #6)
+        from edipack_tpu.ops.pallas_fused import FusedKron
+        mv32 = FusedKron(fop)
+        _jf32 = jax.jit(lambda u: mv32.from_internal_flat(
+            mv32(u.astype(jnp.float32))))
+        w32 = np.asarray(_jf32(vflat))
+        rel32 = float(np.abs(w32 - w_ref).max() / np.abs(w_ref).max())
+        extra["f32_matvec_rel_err"] = rel32
+        print(f"[bench] f32 matvec rel err vs exact f64: {rel32:.2e}",
+              file=sys.stderr)
     except Exception as e:
         print(f"[bench] DS accuracy check failed ({e})", file=sys.stderr)
 
@@ -326,14 +354,47 @@ def bench_gs(op, cfg, extra):
         mv = MixedKronMatvec(op)
         refine = exact
         kind = "xla-ds"
-    t0 = time.time()
-    vals, vecs = eigsh_lowest(mv, mv.dim, 1, dtype=mv.dtype, m=48, tol=2e-6,
-                              max_restarts=8, refine_matvec=refine)
-    dt = time.time() - t0
-    extra["time_to_ground_state_s"] = round(dt, 2)
+    def one_run(tag):
+        stats = {}
+        t0 = time.time()
+        vals, vecs = eigsh_lowest(mv, mv.dim, 1, dtype=mv.dtype, m=48,
+                                  tol=2e-6, max_restarts=8,
+                                  refine_matvec=refine, stats=stats)
+        dt = time.time() - t0
+        sweep_s = sum(stats["sweep_s"])
+        polish_s = sum(stats["polish_s"])
+        # first sweep includes the jit compile for its shape; later sweeps
+        # are pure execution — the difference is the (remote) compile share
+        warm_sweep = (np.median(stats["sweep_s"][1:])
+                      if len(stats["sweep_s"]) > 1 else stats["sweep_s"][0])
+        extra[f"gs_{tag}_s"] = round(dt, 2)
+        extra[f"gs_{tag}_sweep_s"] = round(sweep_s, 2)
+        extra[f"gs_{tag}_sweep0_s"] = stats["sweep_s"][0]
+        extra[f"gs_{tag}_sweep_warm_s"] = round(float(warm_sweep), 3)
+        extra[f"gs_{tag}_polish_s"] = round(polish_s, 2)
+        extra[f"gs_{tag}_n_restarts"] = stats["n_restarts"]
+        extra[f"gs_{tag}_n_matvecs"] = stats["n_matvecs"]
+        extra[f"gs_{tag}_polish_rounds"] = stats["polish_rounds"]
+        extra[f"gs_{tag}_polish_matvecs"] = stats["polish_matvecs"]
+        extra[f"gs_{tag}_other_s"] = round(dt - sweep_s - polish_s, 2)
+        print(f"[bench] gs[{tag}] E0={vals[0]:.10f} in {dt:.1f}s "
+              f"(sweeps {sweep_s:.1f}s x{stats['n_restarts']}, "
+              f"polish {polish_s:.1f}s x{stats['polish_rounds']} rounds, "
+              f"other {dt - sweep_s - polish_s:.1f}s, "
+              f"{stats['n_matvecs']}+{stats['polish_matvecs']} matvecs)",
+              file=sys.stderr)
+        return vals, dt
+
+    vals, dt_cold = one_run("cold")
+    # warm run: identical shapes — every jit is cached; this is the
+    # steady-state DMFT-loop cost the reference wall-clock compares against
+    vals, dt_warm = one_run("warm")
+    extra["time_to_ground_state_s"] = round(dt_warm, 2)
+    extra["time_to_ground_state_cold_s"] = round(dt_cold, 2)
     extra["e0"] = float(vals[0])
     extra["gs_path"] = kind
-    print(f"[bench] ground state E0={vals[0]:.8f} in {dt:.1f}s via {kind} "
+    print(f"[bench] ground state E0={vals[0]:.8f} cold {dt_cold:.1f}s "
+          f"warm {dt_warm:.1f}s via {kind} "
           f"(dim={op.hdw.shape[0]*op.hup.shape[0]})", file=sys.stderr)
 
 
@@ -389,14 +450,27 @@ def bench_scaling(extra):
 
     r1 = rate_of(KronMatvec(op, dtype=jnp.float32))
     mesh = make_mesh(sec_axis=1)
-    mv8 = shard_kron_matvec(KronMatvec(op, dtype=jnp.float32), mesh)
-    r8 = rate_of(mv8)
+    mvn = shard_kron_matvec(KronMatvec(op, dtype=jnp.float32), mesh)
+    rn = rate_of(mvn)
     extra["scaling_nnz_per_s_1dev"] = r1
-    extra["scaling_nnz_per_s_8dev"] = r8
-    extra["scaling_ratio_8dev"] = r8 / r1
+    extra[f"scaling_nnz_per_s_{ndev}dev"] = rn
+    extra[f"scaling_ratio_{ndev}dev"] = rn / r1
     print(f"[bench] scaling (virtual cpu mesh, {os.cpu_count()} cores): "
-          f"1dev {r1/1e9:.3f} Gnnz/s, {ndev}dev {r8/1e9:.3f} Gnnz/s, "
-          f"ratio {r8/r1:.2f}", file=sys.stderr)
+          f"1dev {r1/1e9:.3f} Gnnz/s, {ndev}dev {rn/1e9:.3f} Gnnz/s, "
+          f"ratio {rn/r1:.2f}", file=sys.stderr)
+    # HLO provenance: the sharded matvec must actually lower to the GSPMD
+    # collectives the design claims replace the reference's MPI transpose
+    # (AlltoAllV, ED_HAMILTONIAN_NORMAL_COMMON.f90:66-167)
+    lowered = jax.jit(mvn).lower(
+        jnp.zeros(mvn.dim, jnp.float32)).compile()
+    hlo = lowered.as_text()
+    colls = sorted({name for name in
+                    ("all-to-all", "all-gather", "all-reduce",
+                     "collective-permute", "reduce-scatter")
+                    if name in hlo})
+    extra[f"scaling_hlo_collectives_{ndev}dev"] = ",".join(colls)
+    print(f"[bench] sharded matvec HLO collectives ({ndev}dev): {colls}",
+          file=sys.stderr)
 
 
 def _joint_rate(mv, K, seed=0, pair=False):

@@ -49,6 +49,12 @@ class EDSolver:
                     f" Hloc matrix, got {raw.shape}")
             self.hloc = np.asarray(raw, complex).reshape(
                 ns, no, ns, no).transpose(0, 2, 1, 3)
+            # the reference declares HLOCfile but never reads it
+            # (ED_INPUT_VARS.f90:765): announce the divergence loudly so a
+            # stale inputHLOC.in in CWD can't silently inject an Hloc
+            print(f"[edipack_tpu] loaded local Hamiltonian from "
+                  f"{self.cfg.hlocfile} (set hlocfile='' to disable; "
+                  f"ed_set_hloc overrides)")
         self.hloc_anomalous: Optional[np.ndarray] = None
         self.runtime_terms: List[TwoBodyTerm] = []
         self.result: Optional[SolveResult] = None

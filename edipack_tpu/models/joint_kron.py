@@ -278,19 +278,39 @@ class JointKronMatvec:
                       if np.any(h) else None
                       for h, s in zip(acc.hdw, self._shapes)]
 
-        def put_gathers(gs):
-            out = []
+        def group_gathers(gs):
+            """Batch all gather terms sharing (src, dst) into ONE stacked
+            take + weighted reduction: the per-term loop launched ~4 HLO
+            ops per term (hundreds of kernel launches per matvec — the
+            r04 joint-throughput bottleneck); a group costs 3 ops total.
+            The per-term weight w[k,d,u] = coeff_k * dw_sgn_k[d] *
+            up_sgn_k[u] is precomputed host-side.  Returns
+            (device_groups, host_groups) — host copies feed the DS lo /
+            exact-f64 weight splits in MixedJointKron."""
+            groups: Dict[Tuple[int, int], list] = {}
             for g in gs:
-                ddw_p = self._shapes[g.dst][0]
-                out.append((g.src, g.dst, complex(g.coeff),
-                            jax.device_put(jnp.asarray(
-                                pad_rows(g.dw_src, ddw_p))),
-                            putr(pad_rows(g.dw_sgn, ddw_p)),
-                            jax.device_put(jnp.asarray(g.up_src)),
-                            putr(g.up_sgn)))
-            return out
+                groups.setdefault((g.src, g.dst), []).append(g)
+            dev_out, host_out = [], []
+            for (src, dst), lst in sorted(groups.items()):
+                ddw_p = self._shapes[dst][0]
+                dup_d = self.blocks[dst].dup
+                k = len(lst)
+                dw_idx = np.zeros((k, ddw_p), np.int32)
+                up_idx = np.zeros((k, dup_d), np.int32)
+                w = np.zeros((k, ddw_p, dup_d), complex)
+                for j, g in enumerate(lst):
+                    dw_idx[j, :len(g.dw_src)] = g.dw_src
+                    up_idx[j] = g.up_src
+                    w[j, :len(g.dw_sgn)] = g.coeff * np.outer(g.dw_sgn,
+                                                              g.up_sgn)
+                host_out.append((src, dst, dw_idx, up_idx, w))
+                dev_out.append((src, dst,
+                                jax.device_put(jnp.asarray(dw_idx)),
+                                jax.device_put(jnp.asarray(up_idx)),
+                                put(w, rep)))
+            return dev_out, host_out
 
-        self.gathers = put_gathers(acc.gathers)
+        self.gathers, self._gathers_host = group_gathers(acc.gathers)
 
         self.has_ph = cfg.nph > 0
         if self.has_ph:
@@ -306,7 +326,8 @@ class JointKronMatvec:
             self.eph_dw_b = [put(pad_rows(pad_rows(h, s[0]).T, s[0]).T, rep)
                              if np.any(h) else None
                              for h, s in zip(eph_acc.hdw, self._shapes)]
-            self.eph_gathers = put_gathers(eph_acc.gathers)
+            self.eph_gathers, self._eph_gathers_host = \
+                group_gathers(eph_acc.gathers)
 
         # sorted -> padded-blocked position map: sorted index k lives at
         # padded position scatter_idx[k] (per phonon plane)
@@ -364,12 +385,23 @@ class JointKronMatvec:
                                    preferred_element_type=v.dtype,
                                    precision=precision)
             out.append(w)
-        for (src, dst, coeff, dw_src, dw_sgn, up_src, up_sgn) in gathers:
-            t = jnp.take(vb[src], dw_src, axis=1)
-            t = jnp.take(t, up_src, axis=2)
-            t = t * (dw_sgn[None, :, None] * up_sgn[None, None, :])
-            out[dst] = out[dst] + coeff * t
+        for (src, dst, dw_idx, up_idx, w) in gathers:
+            out[dst] = out[dst] + self._gather_apply(
+                vb[src], dw_idx, up_idx, w, precision=precision)
         return out
+
+    @staticmethod
+    def _gather_apply(v, dw_idx, up_idx, w, precision=None):
+        """Stacked signed gather-reduce: out[p,d,u] = Σ_k w[k,d,u] *
+        v[p, dw_idx[k,d], up_idx[k,u]] — 3 HLO ops for a whole (src,dst)
+        term group."""
+        t = jnp.take(v, dw_idx, axis=1)           # (ph, k, ddw_p, dup_src)
+        idx = jnp.broadcast_to(up_idx[None, :, None, :],
+                               t.shape[:3] + (up_idx.shape[1],))
+        t2 = jnp.take_along_axis(t, idx, axis=3)  # (ph, k, ddw_p, dup_dst)
+        return jnp.einsum("pkdu,kdu->pdu", t2, w.astype(t2.dtype),
+                          precision=precision,
+                          preferred_element_type=t2.dtype)
 
     def split_blocks(self, v):
         v2 = v.reshape(self.dim_ph, self.dim_el_pad)
@@ -409,6 +441,34 @@ class JointKronMatvec:
         return np.stack(cols, axis=1)
 
 
+def _gather_ri(Xv, Yv, dw_idx, up_idx, w_re, w_im):
+    """f64 real/imag split of one stacked gather group on the real
+    embedding: returns (Re, Im) contributions for complex weight
+    w = w_re + i*w_im applied to Xv + i*Yv."""
+    f64 = jnp.float64
+
+    def take2(v):
+        t = jnp.take(v, dw_idx, axis=1)
+        idx = jnp.broadcast_to(up_idx[None, :, None, :],
+                               t.shape[:3] + (up_idx.shape[1],))
+        return jnp.take_along_axis(t, idx, axis=3)
+
+    tX, tY = take2(Xv), take2(Yv)
+
+    def red(t, w):
+        return jnp.einsum("pkdu,kdu->pdu", t, w,
+                          preferred_element_type=f64)
+
+    ax = ay = 0.0
+    if w_re is not None:
+        ax = red(tX, w_re)
+        ay = red(tY, w_re)
+    if w_im is not None:
+        ax = ax - red(tY, w_im)
+        ay = ay + red(tX, w_im)
+    return ax, ay
+
+
 class _RealExactJoint:
     """f64-exact application of the complex blocked-Kron H on the REAL
     embedding: H(x+iy) = (Ax − By) + i(Bx + Ay) with A = Re H, B = Im H,
@@ -425,6 +485,15 @@ class _RealExactJoint:
 
     def jmap(self, v):
         return self.op.jmap(v)
+
+    # layout boundary: the exact operator lives in the SAME real-embedded
+    # padded layout as the owning MixedJointKron, so GF/Krylov drivers that
+    # receive it directly (ed_mixed_gf=False) convert through the parent
+    def to_internal_flat(self, v_sorted):
+        return self.op.to_internal_flat(v_sorted)
+
+    def from_internal_flat(self, v_real):
+        return self.op.from_internal_flat(v_real)
 
     def __call__(self, v):
         op = self.op
@@ -464,64 +533,58 @@ class _RealExactJoint:
                                                preferred_element_type=f64)
                     oy[i] = oy[i] + jnp.einsum("de,peu->pdu", im_m, X[i],
                                                preferred_element_type=f64)
-        for (src, dst, coeff, dw_src, dw_sgn, up_src, up_sgn) in op.gathers:
-            sgn = (dw_sgn[None, :, None] * up_sgn[None, None, :]) \
-                .astype(f64)
-            tx = jnp.take(jnp.take(X[src], dw_src, axis=1), up_src,
-                          axis=2) * sgn
-            ty = jnp.take(jnp.take(Y[src], dw_src, axis=1), up_src,
-                          axis=2) * sgn
-            cr, ci = float(np.real(coeff)), float(np.imag(coeff))
-            ox[dst] = ox[dst] + cr * tx - ci * ty
-            oy[dst] = oy[dst] + ci * tx + cr * ty
+        for (src, dst, dw_idx, up_idx, (w_re, w_im)) in op.gathers_ri:
+            ax, ay = _gather_ri(X[src], Y[src], dw_idx, up_idx, w_re, w_im)
+            ox[dst] = ox[dst] + ax
+            oy[dst] = oy[dst] + ay
         if op.has_ph:
-            # phonon oscillator (real) + e-ph (orbital-diagonal couplings
-            # are real; complex eph factors route through the same re/im
-            # split of the c64 operands)
-            phm = op.ph_mat.astype(f64)
-            phx = op.ph_x.astype(f64)
-            exb = [jnp.real(op.eph_diag_b[i]).astype(f64) * X[i]
-                   for i in range(len(X))]
-            eyb = [jnp.real(op.eph_diag_b[i]).astype(f64) * Y[i]
-                   for i in range(len(Y))]
+            # phonon oscillator (real) + e-ph: TRUE f64 operand copies
+            # (ph_mat64/ph_x64/eph_diag64/eph_*_ri, stored by
+            # MixedJointKron.__init__) — the parent's f32/c64 operands would
+            # floor the exact path at ~1e-7 operand rounding
+            phm = op.ph_mat64
+            phx = op.ph_x64
+            exb = [op.eph_diag64[i] * X[i] for i in range(len(X))]
+            eyb = [op.eph_diag64[i] * Y[i] for i in range(len(Y))]
             for i in range(len(X)):
-                if op.eph_up_b[i] is not None:
-                    re_m = jnp.real(op.eph_up_b[i]).astype(f64)
-                    im_m = jnp.imag(op.eph_up_b[i]).astype(f64)
-                    exb[i] = exb[i] \
-                        + jnp.einsum("pdu,uv->pdv", X[i], re_m,
-                                     preferred_element_type=f64) \
-                        - jnp.einsum("pdu,uv->pdv", Y[i], im_m,
-                                     preferred_element_type=f64)
-                    eyb[i] = eyb[i] \
-                        + jnp.einsum("pdu,uv->pdv", Y[i], re_m,
-                                     preferred_element_type=f64) \
-                        + jnp.einsum("pdu,uv->pdv", X[i], im_m,
-                                     preferred_element_type=f64)
-                if op.eph_dw_b[i] is not None:
-                    re_m = jnp.real(op.eph_dw_b[i]).astype(f64)
-                    im_m = jnp.imag(op.eph_dw_b[i]).astype(f64)
-                    exb[i] = exb[i] \
-                        + jnp.einsum("de,peu->pdu", re_m, X[i],
-                                     preferred_element_type=f64) \
-                        - jnp.einsum("de,peu->pdu", im_m, Y[i],
-                                     preferred_element_type=f64)
-                    eyb[i] = eyb[i] \
-                        + jnp.einsum("de,peu->pdu", re_m, Y[i],
-                                     preferred_element_type=f64) \
-                        + jnp.einsum("de,peu->pdu", im_m, X[i],
-                                     preferred_element_type=f64)
-            for (src, dst, coeff, dw_src, dw_sgn, up_src, up_sgn) \
-                    in op.eph_gathers:
-                sgn = (dw_sgn[None, :, None] * up_sgn[None, None, :]) \
-                    .astype(f64)
-                tx = jnp.take(jnp.take(X[src], dw_src, axis=1), up_src,
-                              axis=2) * sgn
-                ty = jnp.take(jnp.take(Y[src], dw_src, axis=1), up_src,
-                              axis=2) * sgn
-                cr, ci = float(np.real(coeff)), float(np.imag(coeff))
-                exb[dst] = exb[dst] + cr * tx - ci * ty
-                eyb[dst] = eyb[dst] + ci * tx + cr * ty
+                if op.eph_up_ri[i] is not None:
+                    re_m, im_m = op.eph_up_ri[i]
+                    if re_m is not None:
+                        exb[i] = exb[i] \
+                            + jnp.einsum("pdu,uv->pdv", X[i], re_m,
+                                         preferred_element_type=f64)
+                        eyb[i] = eyb[i] \
+                            + jnp.einsum("pdu,uv->pdv", Y[i], re_m,
+                                         preferred_element_type=f64)
+                    if im_m is not None:
+                        exb[i] = exb[i] \
+                            - jnp.einsum("pdu,uv->pdv", Y[i], im_m,
+                                         preferred_element_type=f64)
+                        eyb[i] = eyb[i] \
+                            + jnp.einsum("pdu,uv->pdv", X[i], im_m,
+                                         preferred_element_type=f64)
+                if op.eph_dw_ri[i] is not None:
+                    re_m, im_m = op.eph_dw_ri[i]
+                    if re_m is not None:
+                        exb[i] = exb[i] \
+                            + jnp.einsum("de,peu->pdu", re_m, X[i],
+                                         preferred_element_type=f64)
+                        eyb[i] = eyb[i] \
+                            + jnp.einsum("de,peu->pdu", re_m, Y[i],
+                                         preferred_element_type=f64)
+                    if im_m is not None:
+                        exb[i] = exb[i] \
+                            - jnp.einsum("de,peu->pdu", im_m, Y[i],
+                                         preferred_element_type=f64)
+                        eyb[i] = eyb[i] \
+                            + jnp.einsum("de,peu->pdu", im_m, X[i],
+                                         preferred_element_type=f64)
+            for (src, dst, dw_idx, up_idx, (w_re, w_im)) \
+                    in op.eph_gathers_ri:
+                ax, ay = _gather_ri(X[src], Y[src], dw_idx, up_idx,
+                                    w_re, w_im)
+                exb[dst] = exb[dst] + ax
+                eyb[dst] = eyb[dst] + ay
             for i in range(len(X)):
                 ox[i] = ox[i] \
                     + jnp.einsum("pq,qdu->pdu", phm, X[i],
@@ -605,9 +668,30 @@ class MixedJointKron(JointKronMatvec):
             lo = (dp - dp.astype(np.float32)).astype(np.float32)
             a = jax.device_put(jnp.asarray(lo)) if np.any(lo) else None
             self.diag_lo.append(a)
-        # gather coefficients: c64 rounding of the scalar is the only loss
-        self.gather_lo = [complex(c) - complex(np.complex64(c))
-                          for (_, _, c, *_r) in self.gathers]
+        # gather weight lo-planes: c64 rounding of the host f64 weights
+        def lo_of(host_groups):
+            out = []
+            for (_s, _d, _di, _ui, w) in host_groups:
+                lo = w - np.asarray(w.astype(np.complex64), complex)
+                out.append(device_put_cplx(lo, jnp.complex64)
+                           if np.any(np.abs(lo) > 0) else None)
+            return out
+        self.gather_lo = lo_of(self._gathers_host)
+
+        # f64 real/imag weight splits for the exact real-embedded path
+        def ri_groups(host_groups):
+            out = []
+            for (src, dst, dw_idx, up_idx, w) in host_groups:
+                w_re = putr64(w.real) if np.any(w.real) else None
+                w_im = putr64(w.imag) if np.any(w.imag) else None
+                out.append((src, dst,
+                            jax.device_put(jnp.asarray(dw_idx)),
+                            jax.device_put(jnp.asarray(up_idx)),
+                            (w_re, w_im)))
+            return out
+        self.gathers_ri = ri_groups(self._gathers_host)
+        self.eph_gathers_ri = ri_groups(self._eph_gathers_host) \
+            if self.has_ph else []
         # sorted-basis output dtype: c128 is not materializable on TPU
         self._cdtype_out = (jnp.complex64
                             if jax.devices()[0].platform in ("tpu", "axon")
@@ -633,6 +717,40 @@ class MixedJointKron(JointKronMatvec):
             dp[:b.ddw] = acc.diag[b.offset:b.offset + b.size] \
                 .reshape(b.ddw, b.dup)
             self.diag64.append(putr64(dp))
+        # f64 phonon/e-ph operand copies for the exact path: the c64-mode
+        # parent stores ph_mat/ph_x/eph_diag at f32 and the e-ph factors at
+        # c64, which would floor the 'exact' polish at ~1e-7 operand
+        # rounding (mirrors hup_ri/diag64 above)
+        if self.has_ph:
+            from .normal import _phonon_matrices
+            ph_mat, ph_x = _phonon_matrices(cfg)
+            self.ph_mat64 = putr64(np.real(ph_mat))
+            self.ph_x64 = putr64(np.real(ph_x))
+            self.eph_diag64 = []
+            for b, s in zip(self.blocks, self._shapes):
+                dp = np.zeros(s)
+                dp[:b.ddw] = acc.eph_diag[b.offset:b.offset + b.size] \
+                    .reshape(b.ddw, b.dup)
+                self.eph_diag64.append(putr64(dp))
+
+            def ri(h):
+                h = np.asarray(h, complex)
+                re = putr64(h.real) if np.any(h.real) else None
+                im = putr64(h.imag) if np.any(h.imag) else None
+                return re, im
+            self.eph_up_ri = [ri(h.T) if np.any(h) else None
+                              for h in eph_acc.hup]
+            self.eph_dw_ri = []
+            for h, s in zip(eph_acc.hdw, self._shapes):
+                if not np.any(h):
+                    self.eph_dw_ri.append(None)
+                    continue
+                hp_ = np.zeros((s[0], s[0]), complex)
+                hp_[:h.shape[0], :h.shape[1]] = h
+                self.eph_dw_ri.append(ri(hp_))
+        else:
+            self.ph_mat64 = self.ph_x64 = None
+            self.eph_diag64 = self.eph_up_ri = self.eph_dw_ri = None
         self.exact = _RealExactJoint(self)
 
     def _pair_blocks(self, vb):
@@ -651,14 +769,12 @@ class MixedJointKron(JointKronMatvec):
                 w = w + jnp.einsum("de,peu->pdu", self.hdw_lo[i], v,
                                    preferred_element_type=v.dtype)
             corr.append(w)
-        for lo_c, (src, dst, _c, dw_src, dw_sgn, up_src, up_sgn) in zip(
+        for lo_w, (src, dst, dw_idx, up_idx, _w) in zip(
                 self.gather_lo, self.gathers):
-            if lo_c == 0:
+            if lo_w is None:
                 continue
-            t = jnp.take(vb[src], dw_src, axis=1)
-            t = jnp.take(t, up_src, axis=2)
-            t = t * (dw_sgn[None, :, None] * up_sgn[None, None, :])
-            corr[dst] = corr[dst] + jnp.asarray(lo_c, jnp.complex64) * t
+            corr[dst] = corr[dst] + self._gather_apply(
+                vb[src], dw_idx, up_idx, lo_w, precision=hp)
         if self.has_ph:
             ev = self._apply_el(vb, self.eph_up_b, self.eph_dw_b,
                                 self.eph_diag_b, self.eph_gathers,
@@ -732,7 +848,7 @@ class MixedJointKron(JointKronMatvec):
 
 
 def _gather_arrays(gathers):
-    return [tuple(g[3:]) for g in gathers]
+    return [tuple(g[2:]) for g in gathers]
 
 
 def _jkm_dyn(op) -> dict:
@@ -752,7 +868,7 @@ def _jkm_set(op, dyn) -> None:
     op.diag_b = list(dyn["diag_b"])
     op.hup_b = list(dyn["hup_b"])
     op.hdw_b = list(dyn["hdw_b"])
-    op.gathers = [g[:3] + tuple(ga)
+    op.gathers = [g[:2] + tuple(ga)
                   for g, ga in zip(op.gathers, dyn["g"])]
     op._scatter_idx = dyn["scatter"]
     op._mask = dyn["mask"]
@@ -762,7 +878,7 @@ def _jkm_set(op, dyn) -> None:
         op.eph_diag_b = list(dyn["eph_diag_b"])
         op.eph_up_b = list(dyn["eph_up_b"])
         op.eph_dw_b = list(dyn["eph_dw_b"])
-        op.eph_gathers = [g[:3] + tuple(ga)
+        op.eph_gathers = [g[:2] + tuple(ga)
                           for g, ga in zip(op.eph_gathers, dyn["eph_g"])]
 
 
@@ -780,7 +896,14 @@ def _jkm_unflatten(aux, children):
 def _mjk_flatten(op):
     dyn = _jkm_dyn(op)
     dyn.update(hup_lo=op.hup_lo, hdw_lo=op.hdw_lo, diag_lo=op.diag_lo,
-               hup_ri=op.hup_ri, hdw_ri=op.hdw_ri, diag64=op.diag64)
+               hup_ri=op.hup_ri, hdw_ri=op.hdw_ri, diag64=op.diag64,
+               gather_lo=op.gather_lo,
+               g_ri=[tuple(g[2:]) for g in op.gathers_ri],
+               eph_g_ri=[tuple(g[2:]) for g in op.eph_gathers_ri])
+    if op.has_ph:
+        dyn.update(ph_mat64=op.ph_mat64, ph_x64=op.ph_x64,
+                   eph_diag64=op.eph_diag64, eph_up_ri=op.eph_up_ri,
+                   eph_dw_ri=op.eph_dw_ri)
     return (dyn,), op
 
 
@@ -795,6 +918,18 @@ def _mjk_unflatten(aux, children):
     op.hup_ri = list(dyn["hup_ri"])
     op.hdw_ri = list(dyn["hdw_ri"])
     op.diag64 = list(dyn["diag64"])
+    op.gather_lo = list(dyn["gather_lo"])
+    op.gathers_ri = [g[:2] + tuple(ga)
+                     for g, ga in zip(op.gathers_ri, dyn["g_ri"])]
+    op.eph_gathers_ri = [g[:2] + tuple(ga)
+                         for g, ga in zip(op.eph_gathers_ri,
+                                          dyn["eph_g_ri"])]
+    if op.has_ph:
+        op.ph_mat64 = dyn["ph_mat64"]
+        op.ph_x64 = dyn["ph_x64"]
+        op.eph_diag64 = list(dyn["eph_diag64"])
+        op.eph_up_ri = list(dyn["eph_up_ri"])
+        op.eph_dw_ri = list(dyn["eph_dw_ri"])
     op.exact = _RealExactJoint(op)
     return op
 

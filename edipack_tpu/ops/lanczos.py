@@ -422,7 +422,8 @@ def lanczos_tridiag_batch(matvec, v0s, m: int):
 def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
                  m: Optional[int] = None, tol: float = 1e-12,
                  max_restarts: int = 60, v0: Optional[np.ndarray] = None,
-                 key=None, refine_matvec: Optional[Callable] = None
+                 key=None, refine_matvec: Optional[Callable] = None,
+                 stats: Optional[dict] = None
                  ) -> Tuple[np.ndarray, np.ndarray]:
     """``nev`` lowest eigenpairs by restarted deflated Lanczos.
 
@@ -433,7 +434,13 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
     rotation of the converged subspace — used when ``matvec`` itself runs
     in reduced precision (MixedKronMatvec): the subspace converges under
     the fast matvec, then nev exact matvecs restore full-precision
-    eigenvalues (error ~ ||r||^2 / gap instead of ~ matvec noise)."""
+    eigenvalues (error ~ ||r||^2 / gap instead of ~ matvec noise).
+
+    ``stats``: optional dict the solver fills with a wall-clock breakdown —
+    ``n_restarts``, ``n_matvecs`` (sweep matvec count), ``sweep_s`` (list of
+    per-restart sweep+fetch seconds; element 0 includes jit compile),
+    ``polish_s`` (list of per-vector polish seconds), ``polish_rounds``,
+    ``polish_matvecs`` (exact+DS matvecs inside the polish)."""
     nev = min(nev, dim)
     jm = getattr(matvec, "jmap", None)
     if dim <= 128:
@@ -484,6 +491,10 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
     import time as _time
     _dbg = bool(_os.environ.get("EDTPU_DEBUG_EIGSH"))
     _t0 = _time.perf_counter()
+    if stats is None:
+        stats = {}
+    stats.update(n_restarts=0, n_matvecs=0, sweep_s=[], polish_s=[],
+                 polish_rounds=0, polish_matvecs=0)
     ds_store = (jnp.complex64 if jnp.issubdtype(dtype, jnp.complexfloating)
                 else jnp.float32)
     locked_vecs = []
@@ -493,12 +504,16 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
     defl_extra = []
     start = v0
     for restart in range(max_restarts):
+        _ts = _time.perf_counter()
         lk_list = locked_vecs + defl_extra
         locked = (_j_stack(lk_list) if lk_list
                   else _j_zeros((0, dim), ds_store if use_ds else dtype))
         alphas, betas, V = sweep_fn(matvec, start, m, locked)
         a = np.asarray(alphas)
         b = np.asarray(betas)
+        stats["n_restarts"] += 1
+        stats["n_matvecs"] += m
+        stats["sweep_s"].append(round(_time.perf_counter() - _ts, 3))
         if _dbg:
             print(f"[eigsh] restart {restart} sweep+fetch "
                   f"{_time.perf_counter() - _t0:.2f}s locked="
@@ -602,9 +617,12 @@ def eigsh_lowest(matvec: Callable, dim: int, nev: int, dtype=jnp.float64,
                   flush=True)
             _t0 = _time.perf_counter()
         for i in range(vecs.shape[0]):
+            _tp = _time.perf_counter()
             val, vec = _cluster_polish(refine_matvec, _j_row(vecs, i),
                                        pol_defl, dim, m_ref=m_ref,
-                                       sweep_op=matvec if use_ds else None)
+                                       sweep_op=matvec if use_ds else None,
+                                       stats=stats)
+            stats["polish_s"].append(round(_time.perf_counter() - _tp, 3))
             if _dbg:
                 print(f"[eigsh] polish vec {i}: "
                       f"{_time.perf_counter() - _t0:.2f}s", flush=True)
@@ -651,6 +669,10 @@ def eigsh_lowest_batch(mvs, nevs, m: Optional[int] = None, tol: float = 2e-6,
     locked_vecs = [[] for _ in range(B)]
     locked_vals = [[] for _ in range(B)]
     done = [False] * B
+    # last unconverged Ritz block per lane: (ritz_rows, tvals, newly) — the
+    # distinct (deflated) approximations a never-converged lane falls back
+    # to, mirroring the serial eigsh_lowest tail
+    last_ritz = [None] * B
     lmax_pad = max(1, nev_max)
 
     for restart in range(max_restarts):
@@ -703,7 +725,9 @@ def eigsh_lowest_batch(mvs, nevs, m: Optional[int] = None, tol: float = 2e-6,
                     break
             if len(locked_vals[b]) >= nevs[b]:
                 done[b] = True
+                last_ritz[b] = None
                 continue
+            last_ritz[b] = (ritz, tvals[:n_take], newly)
             if newly < n_take:
                 starts[b] = _j_row(ritz, newly)
             else:
@@ -713,10 +737,33 @@ def eigsh_lowest_batch(mvs, nevs, m: Optional[int] = None, tol: float = 2e-6,
             break
     out = []
     for b in range(B):
-        # accept best available if a lane never fully converged
-        while len(locked_vals[b]) < nevs[b] and locked_vals[b]:
-            locked_vals[b].append(locked_vals[b][-1])
-            locked_vecs[b].append(locked_vecs[b][-1])
+        # a lane that never fully converged: fill with DISTINCT unconverged
+        # Ritz vectors from its last sweep (deflated against the locked
+        # block) — duplicating the last locked pair would double-count one
+        # physical state in the finite-T Boltzmann weights
+        if len(locked_vals[b]) < nevs[b] and last_ritz[b] is not None:
+            ritz_b, tvals_b, newly_b = last_ritz[b]
+            for j in range(newly_b, ritz_b.shape[0]):
+                if len(locked_vals[b]) >= nevs[b]:
+                    break
+                vec = _j_row(ritz_b, j)
+                if locked_vecs[b]:
+                    vec = _j_deflate(_j_stack(locked_vecs[b]), vec)
+                nrm = float(_j_norm(vec))
+                if nrm < 1e-10:
+                    continue
+                locked_vecs[b].append(_j_scale(vec, nrm))
+                locked_vals[b].append(float(tvals_b[j]))
+        if not locked_vals[b]:
+            # zero states locked after max_restarts (pathological): solve
+            # this lane through the serial fallback rather than crash
+            vals, vecs = eigsh_lowest(
+                mvs[b], dim, nevs[b], dtype=getattr(mvs[b], "dtype",
+                                                    jnp.float64),
+                m=m, tol=tol, max_restarts=max_restarts,
+                refine_matvec=getattr(mvs[b], "exact", None))
+            out.append((vals, vecs))
+            continue
         order = np.argsort(locked_vals[b][:nevs[b]])
         vals = np.asarray(locked_vals[b])[order]
         vecs = _j_stack([locked_vecs[b][i] for i in order])
@@ -737,7 +784,7 @@ def eigsh_lowest_batch(mvs, nevs, m: Optional[int] = None, tol: float = 2e-6,
 
 def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
                     max_rounds: int = 12, rtol: float = 1e-11,
-                    max_cluster: int = 8, sweep_op=None):
+                    max_cluster: int = 8, sweep_op=None, stats=None):
     """Polish one approximate eigenvector to f64 accuracy with exact
     matvecs, robust to near-degenerate clusters (see caller comment).
 
@@ -799,6 +846,10 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
     prev_resid = resid0
     _last_val = [np.inf, 0]   # [last Rayleigh value, stagnant-round count]
     for _round in range(max_rounds):
+        if stats is not None:
+            stats["polish_rounds"] = stats.get("polish_rounds", 0) + 1
+            stats["polish_matvecs"] = stats.get("polish_matvecs", 0) \
+                + m_ref + 1
         lk = (_j_stack(deflate) if deflate
               else _j_zeros((0, dim), dtype))
         if ds_active:
@@ -818,6 +869,11 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
             t += np.diag(b2[:k_eff - 1], 1) + np.diag(b2[:k_eff - 1], -1)
         Vd = _j_take_rows(V2, k_eff)                          # (k, dim)
         V2 = None   # free the (m+1, dim) sweep buffer (multi-GB at 1e7 dim)
+        # FIXED-SHAPE extras block: always max_cluster rows (zero-padded).
+        # A varying kb re-jits the stack/inner/combine helpers every round
+        # — through a remote-compile transport that alone costs minutes per
+        # ground state (the r04 843 s mystery); zero rows cost one wasted
+        # batched matvec lane each and a pinned huge diagonal entry below.
         extras = []
         for u in block:
             if deflate:
@@ -830,29 +886,36 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
             if nrm > 1e-7:
                 extras.append(_j_scale(u, nrm))
         kb = len(extras)
-        n_rr = k_eff + kb
+        KB = max_cluster
+        pad_rows = [_j_zeros((dim,), dtype)] * (KB - kb)
+        n_rr = k_eff + KB
         cplx = jnp.issubdtype(dtype, jnp.complexfloating)
         hs = np.zeros((n_rr, n_rr), dtype=complex if cplx else float)
         hs[:k_eff, :k_eff] = t
-        if kb:
-            E = _j_stack(extras)                              # (kb, dim)
-            HE = _j_stack([mvj(_j_row(E, j)) for j in range(kb)])
-            hs[:k_eff, k_eff:] = np.asarray(_j_inner(Vd, HE))
-            hs[k_eff:, k_eff:] = np.asarray(_j_inner(E, HE))
-            hs[k_eff:, :k_eff] = hs[:k_eff, k_eff:].conj().T
+        E = _j_stack(extras + pad_rows)                       # (KB, dim)
+        HE = _jitted(jax.vmap(matvec), owner=matvec,
+                     attr="_edtpu_jit_vmap")(E)
+        if stats is not None:
+            stats["polish_matvecs"] = stats.get("polish_matvecs", 0) + KB
+        hs[:k_eff, k_eff:] = np.asarray(_j_inner(Vd, HE))
+        hs[k_eff:, k_eff:] = np.asarray(_j_inner(E, HE))
+        hs[k_eff:, :k_eff] = hs[:k_eff, k_eff:].conj().T
         hs = 0.5 * (hs + hs.conj().T)
+        # pin the zero-padded RR rows far above the spectrum so they can
+        # never surface among the lowest eigenvectors
+        pin = 10.0 * max(1.0, np.abs(hs).max())
+        for j in range(kb, KB):
+            hs[k_eff + j, :] = 0.0
+            hs[:, k_eff + j] = 0.0
+            hs[k_eff + j, k_eff + j] = pin
         sv, su = np.linalg.eigh(hs)
         nw = min(max_cluster, n_rr)
         cw = np.asarray(su[:, :nw].T, np.float64) if not cplx \
             else np.asarray(su[:, :nw].T)
-        if kb:
-            W = _j_combine2(np.ascontiguousarray(cw[:, :k_eff].real),
-                            np.ascontiguousarray(cw[:, k_eff:].real), Vd, E) \
-                if not cplx else _j_combine2c(cw[:, :k_eff], cw[:, k_eff:],
-                                              Vd, E)
-        else:
-            W = _j_ritz(np.ascontiguousarray(cw.real), Vd) if not cplx \
-                else _j_ritzc(cw, Vd)
+        W = _j_combine2(np.ascontiguousarray(cw[:, :k_eff].real),
+                        np.ascontiguousarray(cw[:, k_eff:].real), Vd, E) \
+            if not cplx else _j_combine2c(cw[:, :k_eff], cw[:, k_eff:],
+                                          Vd, E)
         w0 = _j_row(W, 0)
         vec = _j_scale(w0, float(_j_norm(w0)))
         if vec.dtype != dtype:

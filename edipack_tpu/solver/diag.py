@@ -183,10 +183,19 @@ def diagonalize_sites(cfg: EDConfig, table: SectorTable,
         mv = matvec_builders[s](table.sector(i))
         if (cfg.ed_batch_lanczos and type(mv).__name__ == "MixedKronMatvec"
                 and getattr(mv, "_sharding", None) is None):
-            groups.setdefault(mv.shape3, []).append((s, i, mv))
+            # group key = shape3 AND the full ops pytree layout: two
+            # same-dim sectors can carry structurally different operand
+            # trees (e.g. nl_eb vs nl_a nonlocal terms, different term
+            # counts), which jax.tree.map stacking would reject
+            ops_sig = (jax.tree.structure(mv.ops),
+                       tuple((np.shape(leaf), str(np.asarray(leaf).dtype)
+                              if not hasattr(leaf, "dtype")
+                              else str(leaf.dtype))
+                             for leaf in jax.tree.leaves(mv.ops)))
+            groups.setdefault((mv.shape3, ops_sig), []).append((s, i, mv))
         else:
             singles.append((s, i))
-    for shape3, items in groups.items():
+    for (shape3, _sig), items in groups.items():
         if len(items) < 2:
             singles.extend((s, i) for s, i, _ in items)
             continue

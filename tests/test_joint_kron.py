@@ -332,3 +332,49 @@ def test_joint_kron_sharded_mesh_parity():
         krm(krm.to_internal_flat(u))))
     wm = np.asarray(fm(jnp.asarray(v)))
     assert np.abs(wm - w0).max() / np.abs(w0).max() < 1e-6
+
+
+def test_mixed_joint_exact_phonon_f64():
+    """ADVICE r4: the 'exact' f64 path of MixedJointKron must use true f64
+    phonon/e-ph operands (not astype'd f32/c64 copies) — compare against
+    the c128 blocked-Kron operator on a superc + phonon sector."""
+    cfg = default_config(norb=1, nbath=2, nspin=1, ed_mode="superc",
+                         uloc=[-1.2], deltasc=0.15, xmu=0.1,
+                         nph=2, w0_ph=0.437251, g_ph=[0.213731])
+    um = build_umatrix(cfg)
+    bath = init_bath(cfg)
+    table = SectorTable(cfg)
+    sec = table.by_qn(("sz", 0))
+    hloc = np.zeros((1, 1, 1, 1))
+    mv = build_joint_kron_op(cfg, sec, hloc, um, bath, mixed=True)
+    ref = build_joint_kron_op(cfg, sec, hloc, um, bath)  # c128 on CPU
+    rng = np.random.default_rng(3)
+    nlog = ref.dim_ph * ref.dim_el
+    v = jnp.asarray(rng.normal(size=nlog) + 1j * rng.normal(size=nlog))
+    w_ref = np.asarray(ref.from_internal_flat(ref(ref.to_internal_flat(v))))
+    w_ex = np.asarray(mv.from_internal_flat(mv.exact(mv.to_internal_flat(v))))
+    # true f64 operands: error at the f64 rounding level, NOT ~1e-7
+    assert np.abs(w_ex - w_ref).max() < 1e-12 * np.abs(w_ref).max()
+
+
+def test_joint_solve_mixed_gf_false():
+    """ADVICE r4: ed_mixed_gf=False with the MixedJointKron path must route
+    GF moments through the exact operator's layout boundary (crashes before
+    the fix); physics must match the exact ELL solve."""
+    from edipack_tpu.solver.core import solve_impurity
+    base = dict(norb=1, nbath=2, ed_mode="superc", nspin=1, uloc=[-1.5],
+                deltasc=0.12, xmu=0.1, beta=50.0, lmats=12, ed_verbose=0,
+                lanc_dim_threshold=8)
+    cfg_ref = default_config(**base, ed_joint_kron="never")
+    um = build_umatrix(cfg_ref)
+    bath = init_bath(cfg_ref)
+    a = solve_impurity(cfg_ref, np.zeros((1, 1, 1, 1)), um, bath)
+    cfg = default_config(**base, ed_joint_kron="always",
+                         ed_mixed_matvec="always", ed_mixed_gf=False)
+    b = solve_impurity(cfg, np.zeros((1, 1, 1, 1)), um, bath)
+    assert abs(a.e0 - b.e0) < 1e-8
+    z = 1j * (2 * np.arange(12) + 1) * np.pi / 50.0
+    np.testing.assert_allclose(np.asarray(a.get_gimp(z)),
+                               np.asarray(b.get_gimp(z)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.get_gimp(z, typ="a")),
+                               np.asarray(b.get_gimp(z, typ="a")), atol=1e-6)
