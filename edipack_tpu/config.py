@@ -241,10 +241,6 @@ class EDConfig:
             raise ValueError("cg_norm must be 'elemental' or 'frobenius'")
         if self.cg_stop not in (0, 1, 2):
             raise ValueError("cg_stop must be 0, 1 or 2")
-        if self.nph > 0 and self.ed_mode == "nonsu2" and self.jz_basis:
-            # the reference supports nonsu2 phonons (ED_GF_NONSU2.f90:102);
-            # only the Jz-filtered basis lacks the phonon register here
-            raise ValueError("phonons not supported with jz_basis")
         if self.ed_mixed_matvec not in ("auto", "always", "never"):
             raise ValueError("ed_mixed_matvec must be auto|always|never")
         if self.ed_fused_matvec not in ("auto", "always", "never"):

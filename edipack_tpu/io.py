@@ -190,6 +190,31 @@ def write_all_outputs(cfg: EDConfig, result) -> None:
                 if n:
                     fh.write(f"{isec + 1} {n}\n")
             fh.write("\n")
+    # quantum SOC operators (reference print_operators, get_imp_SOC_op.f90:
+    # 404+ writes S/L/J/LS text files for the t2g nonsu2 model)
+    if (cfg.ed_mode == "nonsu2" and cfg.norb == 3 and cfg.nspin == 2
+            and getattr(result.obs, "imp_dm_nn", None) is not None):
+        from .solver.soc import quantum_soc_operators
+        soc = quantum_soc_operators(cfg, result.obs.imp_dm_nn)
+        with open(_path(cfg, "quantum_SOC_operators"), "w") as fh:
+            fh.write("# <LS>  <Jx> <Jy> <Jz>  <Jx2> <Jy2> <Jz2>\n")
+            fh.write(" ".join(f"{v.real:.12f}" for v in
+                              [soc.ls_imp, *soc.j_imp, *soc.j_imp_sq])
+                     + "\n")
+            fh.write("# S(alpha, iorb, jorb) re/im\n")
+            for k in range(3):
+                for a in range(3):
+                    fh.write(" ".join(
+                        f"{soc.s_imp[k, a, b].real:.12f} "
+                        f"{soc.s_imp[k, a, b].imag:.12f}"
+                        for b in range(3)) + "\n")
+            fh.write("# L(alpha, ispin, jspin) re/im\n")
+            for k in range(3):
+                for s1 in range(2):
+                    fh.write(" ".join(
+                        f"{soc.l_imp[k, s1, s2].real:.12f} "
+                        f"{soc.l_imp[k, s1, s2].imag:.12f}"
+                        for s2 in range(2)) + "\n")
     write_state_list_restart(cfg, result.diag, result.table)
     write_sectors_restart(cfg, result.diag, result.table)
     from .bath.dmft_bath import save_bath_file

@@ -23,6 +23,34 @@ from .solver.core import SolveResult, solve_impurity
 # ---------------------------------------------------------------------------
 
 
+class _ComplexNormalProxy:
+    """Spin-slicing view of a nonsu2 SolveResult produced by the complex-
+    normal-mode fallback (reference _CMPLX_NORMAL capability): dynamical
+    getters come back in the caller's normal-mode (nspin=1) shapes.  All
+    other attributes delegate to the underlying nonsu2 result."""
+
+    def __init__(self, inner):
+        object.__setattr__(self, "_inner", inner)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def _slice(self, g):
+        return np.asarray(g)[:1, :1]
+
+    def get_gimp(self, zeta=None, axis="m", typ="n"):
+        return self._slice(self._inner.get_gimp(zeta, axis=axis, typ=typ))
+
+    def get_sigma(self, zeta=None, axis="m", typ="n"):
+        return self._slice(self._inner.get_sigma(zeta, axis=axis, typ=typ))
+
+    def get_g0and(self, zeta=None, axis="m", typ="n"):
+        return self._slice(self._inner.get_g0and(zeta, axis=axis, typ=typ))
+
+    def get_delta(self, zeta=None, axis="m", typ="n"):
+        return self._slice(self._inner.get_delta(zeta, axis=axis, typ=typ))
+
+
 class EDSolver:
     """One impurity solver instance (the reference equivalent is the global
     module state between ed_init_solver / ed_finalize_solver)."""
@@ -100,15 +128,26 @@ class EDSolver:
         if h.shape != (ns, ns, no, no):
             raise ValueError(f"bad Hloc shape {h.shape}")
         if self.cfg.ed_mode == "normal" and np.abs(h.imag).max() > 1e-12:
-            # normal mode is real-by-design here (factor-based real f64
-            # operators; the reference's default real build silently takes
-            # dreal(impHloc) too, and only its _CMPLX_NORMAL variant adds
-            # the extra (1, i) GF combos, ED_GF_NORMAL.f90:180-280).
-            # Complex local Hamiltonians are fully supported in nonsu2.
-            raise ValueError(
-                "complex Hloc in ed_mode=normal would be silently "
-                "truncated to its real part; use ed_mode=nonsu2 for "
-                "complex (e.g. SOC) local Hamiltonians")
+            # The reference's _CMPLX_NORMAL build variant supports complex
+            # normal-mode Hamiltonians (ED_VARS_GLOBAL.f90:111-122,
+            # ED_GF_NORMAL.f90:180-280).  Here the normal-mode operators
+            # are real-by-design (factor-based real f64 Kron/Pallas path);
+            # a complex spin-diagonal Hloc is AUTOMATICALLY routed through
+            # the nonsu2 joint solver at solve time — identical physics
+            # ((N↑,N↓) remains conserved; nonsu2 merely does not exploit
+            # it), turnkey migration instead of an error.  Results come
+            # back through a spin-slicing proxy (tests/test_cplx_normal.py
+            # pins the equivalence).
+            if self.cfg.bath_type in ("replica", "general"):
+                raise ValueError(
+                    "complex Hloc in ed_mode=normal is solved via the "
+                    "nonsu2 fallback, which does not support promoting an "
+                    "nspin=1 replica/general bath basis; set "
+                    "ed_mode=nonsu2 explicitly")
+            print("[edipack_tpu] complex Hloc with ed_mode=normal: solving "
+                  "via the nonsu2 joint path (reference _CMPLX_NORMAL "
+                  "capability); results are spin-sliced back to the "
+                  "normal-mode shapes")
         self.hloc = h
         if hloc_anomalous is not None:
             ha = np.asarray(hloc_anomalous, dtype=complex)
@@ -123,11 +162,36 @@ class EDSolver:
     def reset_umatrix(self) -> None:
         self.runtime_terms = []
 
+    def _cplx_normal_active(self) -> bool:
+        return (self.cfg.ed_mode == "normal"
+                and np.abs(np.asarray(self.hloc).imag).max() > 1e-12)
+
+    def _promote_to_nonsu2(self):
+        """Map the normal-mode problem to its nonsu2 twin for the complex-
+        Hloc fallback (reference _CMPLX_NORMAL capability): spin-diagonal
+        Hloc blocks, spin-replicated bath, zero spin-flip hybridization."""
+        from .bath.dmft_bath import allocate_bath
+        cfg2 = self.cfg.replace(ed_mode="nonsu2", nspin=2)
+        no = self.cfg.norb
+        h2 = np.zeros((2, 2, no, no), complex)
+        h2[0, 0] = self.hloc[0, 0]
+        h2[1, 1] = self.hloc[self.cfg.nspin - 1, self.cfg.nspin - 1]
+        b2 = allocate_bath(cfg2, self.basis)
+        b2.e[:] = self.bath.e[0]
+        b2.v[:] = self.bath.v[0]
+        if b2.u is not None:
+            b2.u[:] = 0.0
+        return cfg2, h2, b2
+
     def solve(self, bath_array: Optional[np.ndarray] = None,
               flag_gf: bool = True) -> SolveResult:
         if bath_array is not None:
             self.bath = array_to_bath(bath_array, self.cfg, self.basis)
-        um = build_umatrix(self.cfg, runtime_terms=self.runtime_terms)
+        cfg_solve, hloc_solve, bath_solve = self.cfg, self.hloc, self.bath
+        cplx_fallback = self._cplx_normal_active()
+        if cplx_fallback:
+            cfg_solve, hloc_solve, bath_solve = self._promote_to_nonsu2()
+        um = build_umatrix(cfg_solve, runtime_terms=self.runtime_terms)
         neigen = self.neigen_sector_override
         if neigen is None and self.result is not None:
             # successive-solve annealing (reference ed_post_diag feedback:
@@ -142,18 +206,19 @@ class EDSolver:
         from . import io as edio
         from .sectors import SectorTable
         if neigen is None or self.cfg.ed_sectors:
-            table = SectorTable(self.cfg)
+            table = SectorTable(cfg_solve)
             if neigen is None:
-                neigen = edio.read_state_list_restart(self.cfg, table)
+                neigen = edio.read_state_list_restart(cfg_solve, table)
             if self.cfg.ed_sectors:
-                sector_mask = edio.read_sectors_restart(self.cfg, table)
-        self.result = solve_impurity(self.cfg, self.hloc, um, self.bath,
-                                     neigen_override=neigen,
-                                     sector_mask=sector_mask,
-                                     hloc_anomalous=self.hloc_anomalous,
-                                     flag_gf=flag_gf)
+                sector_mask = edio.read_sectors_restart(cfg_solve, table)
+        res = solve_impurity(cfg_solve, hloc_solve, um, bath_solve,
+                             neigen_override=neigen,
+                             sector_mask=sector_mask,
+                             hloc_anomalous=self.hloc_anomalous,
+                             flag_gf=flag_gf)
+        self.result = _ComplexNormalProxy(res) if cplx_fallback else res
         if self.cfg.ed_write_files:
-            edio.write_all_outputs(self.cfg, self.result)
+            edio.write_all_outputs(cfg_solve, res)
         return self.result
 
     def finalize(self) -> None:
@@ -348,6 +413,25 @@ def ed_update_input(name: str, vals):
 
 def ed_get_sp_dm():
     return _R().single_particle_dm
+
+
+def ed_get_quantum_soc_operators():
+    """nonsu2 quantum SOC operator expectations ⟨S⟩/⟨L⟩/⟨J⟩/⟨J²⟩/⟨L·S⟩ of
+    the t2g impurity (reference ed_get_quantum_SOC_operators,
+    ED_IO/get_imp_SOC_op.f90:289-400).  Requires Norb=3, Nspin=2,
+    ed_mode=nonsu2.  NOTE: distinct from :func:`ed_get_soc`, which is the
+    Krylov spread-OPERATOR-complexity entropy getter (reference ed_get_SOC,
+    ED_KRYLOV.f90) — an unrelated quantity with a colliding acronym.
+    Returns a :class:`~edipack_tpu.solver.soc.SOCOperators`."""
+    from .solver.soc import quantum_soc_operators
+    res = _R()
+    if res.cfg.ed_mode != "nonsu2":
+        raise ValueError("quantum SOC operators require ed_mode=nonsu2")
+    rho = res.obs.imp_dm_nn
+    if rho is None:
+        raise RuntimeError("no spin-resolved impurity density matrix "
+                           "recorded — run ed_solve first")
+    return quantum_soc_operators(res.cfg, rho)
 
 
 def ed_get_imp_info():

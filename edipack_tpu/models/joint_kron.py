@@ -297,17 +297,22 @@ class JointKronMatvec:
                 k = len(lst)
                 dw_idx = np.zeros((k, ddw_p), np.int32)
                 up_idx = np.zeros((k, dup_d), np.int32)
-                w = np.zeros((k, ddw_p, dup_d), complex)
+                # FACTORIZED weights: the per-term coeff (the only inexact
+                # scalar) folds into the complex dw factor; the up factor
+                # stays an exact ±1/0 sign — a dense (k, ddw, dup) weight
+                # tensor would cost k x block-size HBM residency per group
+                wdw = np.zeros((k, ddw_p), complex)
+                usgn = np.zeros((k, dup_d))
                 for j, g in enumerate(lst):
                     dw_idx[j, :len(g.dw_src)] = g.dw_src
                     up_idx[j] = g.up_src
-                    w[j, :len(g.dw_sgn)] = g.coeff * np.outer(g.dw_sgn,
-                                                              g.up_sgn)
-                host_out.append((src, dst, dw_idx, up_idx, w))
+                    wdw[j, :len(g.dw_sgn)] = g.coeff * g.dw_sgn
+                    usgn[j] = g.up_sgn
+                host_out.append((src, dst, dw_idx, up_idx, wdw, usgn))
                 dev_out.append((src, dst,
                                 jax.device_put(jnp.asarray(dw_idx)),
                                 jax.device_put(jnp.asarray(up_idx)),
-                                put(w, rep)))
+                                put(wdw, rep), putr(usgn, rep)))
             return dev_out, host_out
 
         self.gathers, self._gathers_host = group_gathers(acc.gathers)
@@ -385,22 +390,29 @@ class JointKronMatvec:
                                    preferred_element_type=v.dtype,
                                    precision=precision)
             out.append(w)
-        for (src, dst, dw_idx, up_idx, w) in gathers:
-            out[dst] = out[dst] + self._gather_apply(
-                vb[src], dw_idx, up_idx, w, precision=precision)
+        for (src, dst, dw_idx, up_idx, wdw, usgn) in gathers:
+            t2 = self._gather_take(vb[src], dw_idx, up_idx)
+            out[dst] = out[dst] + self._gather_reduce(
+                t2, wdw, usgn, precision=precision)
         return out
 
     @staticmethod
-    def _gather_apply(v, dw_idx, up_idx, w, precision=None):
-        """Stacked signed gather-reduce: out[p,d,u] = Σ_k w[k,d,u] *
-        v[p, dw_idx[k,d], up_idx[k,u]] — 3 HLO ops for a whole (src,dst)
-        term group."""
+    def _gather_take(v, dw_idx, up_idx):
+        """Stacked signed-gather source: t2[p,k,d,u] =
+        v[p, dw_idx[k,d], up_idx[k,u]] for a whole (src,dst) term group —
+        one plain take plus one vmapped (small-index) take.  (A single
+        flattened-index take crashes the v5e TPU worker on multi-M-row
+        sectors — Mosaic gather lowering; the chained form is robust.)"""
         t = jnp.take(v, dw_idx, axis=1)           # (ph, k, ddw_p, dup_src)
-        idx = jnp.broadcast_to(up_idx[None, :, None, :],
-                               t.shape[:3] + (up_idx.shape[1],))
-        t2 = jnp.take_along_axis(t, idx, axis=3)  # (ph, k, ddw_p, dup_dst)
-        return jnp.einsum("pkdu,kdu->pdu", t2, w.astype(t2.dtype),
-                          precision=precision,
+        return jax.vmap(lambda tk, ik: jnp.take(tk, ik, axis=-1),
+                        in_axes=(1, 0), out_axes=1)(t, up_idx)
+
+    @staticmethod
+    def _gather_reduce(t2, wdw, usgn, precision=None):
+        """out[p,d,u] = Σ_k wdw[k,d] * usgn[k,u] * t2[p,k,d,u] — one fused
+        einsum so the weighted tensor is never materialized."""
+        return jnp.einsum("pkdu,kd,ku->pdu", t2, wdw.astype(t2.dtype),
+                          usgn.astype(t2.dtype), precision=precision,
                           preferred_element_type=t2.dtype)
 
     def split_blocks(self, v):
@@ -441,22 +453,17 @@ class JointKronMatvec:
         return np.stack(cols, axis=1)
 
 
-def _gather_ri(Xv, Yv, dw_idx, up_idx, w_re, w_im):
+def _gather_ri(Xv, Yv, dw_idx, up_idx, w_re, w_im, usgn):
     """f64 real/imag split of one stacked gather group on the real
-    embedding: returns (Re, Im) contributions for complex weight
-    w = w_re + i*w_im applied to Xv + i*Yv."""
+    embedding: returns (Re, Im) contributions for the factorized complex
+    weight (w_re + i*w_im)[k,d] * usgn[k,u] applied to Xv + i*Yv."""
     f64 = jnp.float64
-
-    def take2(v):
-        t = jnp.take(v, dw_idx, axis=1)
-        idx = jnp.broadcast_to(up_idx[None, :, None, :],
-                               t.shape[:3] + (up_idx.shape[1],))
-        return jnp.take_along_axis(t, idx, axis=3)
-
-    tX, tY = take2(Xv), take2(Yv)
+    take = JointKronMatvec._gather_take
+    tX = take(Xv, dw_idx, up_idx) * usgn[None, :, None, :]
+    tY = take(Yv, dw_idx, up_idx) * usgn[None, :, None, :]
 
     def red(t, w):
-        return jnp.einsum("pkdu,kdu->pdu", t, w,
+        return jnp.einsum("pkdu,kd->pdu", t, w,
                           preferred_element_type=f64)
 
     ax = ay = 0.0
@@ -533,8 +540,9 @@ class _RealExactJoint:
                                                preferred_element_type=f64)
                     oy[i] = oy[i] + jnp.einsum("de,peu->pdu", im_m, X[i],
                                                preferred_element_type=f64)
-        for (src, dst, dw_idx, up_idx, (w_re, w_im)) in op.gathers_ri:
-            ax, ay = _gather_ri(X[src], Y[src], dw_idx, up_idx, w_re, w_im)
+        for (src, dst, dw_idx, up_idx, (w_re, w_im, usgn)) in op.gathers_ri:
+            ax, ay = _gather_ri(X[src], Y[src], dw_idx, up_idx, w_re, w_im,
+                                usgn)
             ox[dst] = ox[dst] + ax
             oy[dst] = oy[dst] + ay
         if op.has_ph:
@@ -579,10 +587,10 @@ class _RealExactJoint:
                         eyb[i] = eyb[i] \
                             + jnp.einsum("de,peu->pdu", im_m, X[i],
                                          preferred_element_type=f64)
-            for (src, dst, dw_idx, up_idx, (w_re, w_im)) \
+            for (src, dst, dw_idx, up_idx, (w_re, w_im, usgn)) \
                     in op.eph_gathers_ri:
                 ax, ay = _gather_ri(X[src], Y[src], dw_idx, up_idx,
-                                    w_re, w_im)
+                                    w_re, w_im, usgn)
                 exb[dst] = exb[dst] + ax
                 eyb[dst] = eyb[dst] + ay
             for i in range(len(X)):
@@ -668,26 +676,27 @@ class MixedJointKron(JointKronMatvec):
             lo = (dp - dp.astype(np.float32)).astype(np.float32)
             a = jax.device_put(jnp.asarray(lo)) if np.any(lo) else None
             self.diag_lo.append(a)
-        # gather weight lo-planes: c64 rounding of the host f64 weights
+        # gather dw-weight lo-planes: c64 rounding of the host f64 weights
+        # (the up factor is an exact sign, no lo plane needed)
         def lo_of(host_groups):
             out = []
-            for (_s, _d, _di, _ui, w) in host_groups:
-                lo = w - np.asarray(w.astype(np.complex64), complex)
+            for (_s, _d, _di, _ui, wdw, _us) in host_groups:
+                lo = wdw - np.asarray(wdw.astype(np.complex64), complex)
                 out.append(device_put_cplx(lo, jnp.complex64)
                            if np.any(np.abs(lo) > 0) else None)
             return out
         self.gather_lo = lo_of(self._gathers_host)
 
-        # f64 real/imag weight splits for the exact real-embedded path
+        # f64 real/imag dw-weight splits for the exact real-embedded path
         def ri_groups(host_groups):
             out = []
-            for (src, dst, dw_idx, up_idx, w) in host_groups:
-                w_re = putr64(w.real) if np.any(w.real) else None
-                w_im = putr64(w.imag) if np.any(w.imag) else None
+            for (src, dst, dw_idx, up_idx, wdw, usgn) in host_groups:
+                w_re = putr64(wdw.real) if np.any(wdw.real) else None
+                w_im = putr64(wdw.imag) if np.any(wdw.imag) else None
                 out.append((src, dst,
                             jax.device_put(jnp.asarray(dw_idx)),
                             jax.device_put(jnp.asarray(up_idx)),
-                            (w_re, w_im)))
+                            (w_re, w_im, putr64(usgn))))
             return out
         self.gathers_ri = ri_groups(self._gathers_host)
         self.eph_gathers_ri = ri_groups(self._eph_gathers_host) \
@@ -756,8 +765,10 @@ class MixedJointKron(JointKronMatvec):
     def _pair_blocks(self, vb):
         """(main, corr) per-block lists from c64 block tensors."""
         hp = jax.lax.Precision.HIGHEST
+        # gathers handled below so each group's takes run ONCE for both
+        # the hi and lo weight planes
         main = self._apply_el(vb, self.hup_b, self.hdw_b, self.diag_b,
-                              self.gathers, precision=hp)
+                              [], precision=hp)
         corr = []
         for i, v in enumerate(vb):
             w = (self.diag_lo[i] * v if self.diag_lo[i] is not None
@@ -769,12 +780,14 @@ class MixedJointKron(JointKronMatvec):
                 w = w + jnp.einsum("de,peu->pdu", self.hdw_lo[i], v,
                                    preferred_element_type=v.dtype)
             corr.append(w)
-        for lo_w, (src, dst, dw_idx, up_idx, _w) in zip(
+        for lo_w, (src, dst, dw_idx, up_idx, wdw, usgn) in zip(
                 self.gather_lo, self.gathers):
-            if lo_w is None:
-                continue
-            corr[dst] = corr[dst] + self._gather_apply(
-                vb[src], dw_idx, up_idx, lo_w, precision=hp)
+            t2 = self._gather_take(vb[src], dw_idx, up_idx)
+            main[dst] = main[dst] + self._gather_reduce(t2, wdw, usgn,
+                                                        precision=hp)
+            if lo_w is not None:
+                corr[dst] = corr[dst] + self._gather_reduce(
+                    t2, lo_w, usgn, precision=hp)
         if self.has_ph:
             ev = self._apply_el(vb, self.eph_up_b, self.eph_dw_b,
                                 self.eph_diag_b, self.eph_gathers,

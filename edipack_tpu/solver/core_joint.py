@@ -551,9 +551,7 @@ def compute_observables_joint(cfg: EDConfig, table: SectorTable, sl: StateList,
         # ED_OBSERVABLES_NONSU2.f90:330-423 theta/omega construction:
         # S0 = 2Re(D_uu+D_dd), Tz = 2Re(D_uu-D_dd), Tx = 2Re(D_ud+D_du),
         # Ty = 2Im(D_du-D_ud))
-        if cfg.ed_mode == "nonsu2" and norb > 1:
-            if obs.exct is None:
-                obs.exct = np.zeros((4, norb, norb))
+        if cfg.ed_mode == "nonsu2":
             dmat = np.zeros((2, 2, norb, norb), complex)
             for s1 in range(2):
                 for s2 in range(2):
@@ -561,6 +559,15 @@ def compute_observables_joint(cfg: EDConfig, table: SectorTable, sl: StateList,
                         for b in range(norb):
                             dmat[s1, s2, a, b] = _expect(
                                 [((("c", b, s2), ("cdg", a, s1)), 1.0)])
+            # spin-resolved impurity sp density matrix ⟨c†_{a s1} c_{b s2}⟩
+            # — feeds the quantum-SOC-operator getter (reference
+            # get_imp_SOC_op.f90:289-400 via single_particle_density_matrix)
+            if obs.imp_dm_nn is None:
+                obs.imp_dm_nn = np.zeros((2, 2, norb, norb), complex)
+            obs.imp_dm_nn += w[ist] * dmat
+        if cfg.ed_mode == "nonsu2" and norb > 1:
+            if obs.exct is None:
+                obs.exct = np.zeros((4, norb, norb))
             for a in range(norb):
                 for b in range(norb):
                     duu, ddd = dmat[0, 0, a, b], dmat[1, 1, a, b]

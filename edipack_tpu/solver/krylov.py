@@ -91,26 +91,43 @@ def krylov_state_complexity(result, ops: List[str] = ("cdg", "c", "g1"),
                         parts.append((jsec, mp))
                 if not parts:
                     continue
-                if op == "g1" and len(parts) == 2:
-                    # c† + c lives in the direct sum of the two sectors;
-                    # run the chain on the dominant component (reference
-                    # builds the combined chain; the sum of chains is exact
-                    # when the sectors are orthogonal)
-                    pass
                 key = (op, ispin, iorb)
+                # chains to run: g1 = c† + c seeds ONE combined chain on
+                # the direct sum of the two target sectors (the Krylov
+                # basis of the summed seed is NOT the union of the
+                # per-sector bases — the reference builds the combined
+                # chain, ED_KRYLOV.f90:54-266; pinned against a dense
+                # evolution oracle in tests/test_krylov.py)
+                if op == "g1" and len(parts) == 2:
+                    (j1, mp1), (j2, mp2) = parts
+                    phi1 = mp1.apply(v3).reshape(-1)
+                    phi2 = mp2.apply(v3).reshape(-1)
+                    mv1 = result_matvec(result, table.sector(j1))
+                    mv2 = result_matvec(result, table.sector(j2))
+                    d1 = mv1.dim
+
+                    def mv_ds(v, _mv1=mv1, _mv2=mv2, _d1=d1):
+                        return jnp.concatenate([_mv1(v[:_d1]),
+                                                _mv2(v[_d1:])])
+                    dim_tot = mv1.dim + mv2.dim
+                    chains = [(jnp.concatenate([phi1, phi2]), mv_ds,
+                               dim_tot)]
+                else:
+                    chains = []
+                    for (jsec, mp) in parts:
+                        tsec = table.sector(jsec)
+                        chains.append((mp.apply(v3).reshape(-1),
+                                       result_matvec(result, tsec),
+                                       tsec.dim))
                 ksum = np.zeros(len(times))
                 ssum = np.zeros(len(times))
                 dist = None
                 wtot = 0.0
-                for (jsec, mp) in parts:
-                    phi = mp.apply(v3).reshape(-1)
+                for (phi, mv, dim_t) in chains:
                     norm = float(jnp.linalg.norm(phi))
                     if norm < 1e-14:
                         continue
-                    tsec = table.sector(jsec)
-                    from .core import solve_impurity  # noqa: F401 (doc link)
-                    mv = result_matvec(result, tsec)
-                    m = min(m_max, cfg.lanc_niter, max(2, tsec.dim))
+                    m = min(m_max, cfg.lanc_niter, max(2, dim_t))
                     if hasattr(mv, "to_internal_flat"):
                         phi = mv.to_internal_flat(jnp.asarray(phi))
                     alphas, betas, _ = lanczos_tridiag(mv, phi, m)

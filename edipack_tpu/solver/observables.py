@@ -51,6 +51,10 @@ class Observables:
     dph: float = 0.0
     # single-particle density matrix (Nspin, Ns, Ns) over imp+bath levels
     sp_dm: np.ndarray = None
+    # spin-resolved IMPURITY sp density matrix (Nspin,Nspin,Norb,Norb)
+    # ⟨c†_{a s1} c_{b s2}⟩ — nonsu2 only (spin-off-diagonal blocks; feeds
+    # ed_get_quantum_soc_operators, reference get_imp_SOC_op.f90)
+    imp_dm_nn: np.ndarray = None
     # exciton order parameters (4, Norb, Norb): S0, Tx, Ty, Tz
     exct: np.ndarray = None
     # 3^Norb impurity configuration probabilities (empty/single/double per

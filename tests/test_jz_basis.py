@@ -144,3 +144,21 @@ def test_jz_solve_matches_plain_nonsu2():
     s_n = res_n.get_sigma()
     s_j = res_j.get_sigma()
     assert np.allclose(s_n, s_j, atol=1e-6), np.abs(s_n - s_j).max()
+
+
+def test_jz_solve_with_phonons_matches_plain_nonsu2():
+    """jz_basis + phonons (reference supports nonsu2 phonons generally,
+    ED_GF_NONSU2.f90:102): the Jz-filtered solve must reproduce the plain
+    Ntot nonsu2 solve including phonon observables and D(z)."""
+    cfg, hloc, um, bath, _ = _jz_problem(nbath=1, nph=2, w0_ph=0.5,
+                                         g_ph=[0.2, 0.2, 0.2])
+    res_n = solve_impurity(cfg, hloc, um, bath)
+    res_j = solve_impurity(cfg.replace(jz_basis=True), hloc, um, bath)
+    assert abs(res_n.e0 - res_j.e0) < 1e-9
+    assert np.allclose(res_n.dens, res_j.dens, atol=1e-8)
+    assert abs(res_n.obs.ph_x - res_j.obs.ph_x) < 1e-8
+    assert abs(res_n.obs.ph_x2 - res_j.obs.ph_x2) < 1e-8
+    assert np.allclose(res_n.obs.ph_n, res_j.obs.ph_n, atol=1e-8)
+    g_n = res_n.get_gimp()
+    g_j = res_j.get_gimp()
+    assert np.allclose(g_n, g_j, atol=1e-7), np.abs(g_n - g_j).max()
