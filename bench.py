@@ -341,10 +341,11 @@ def bench_gs(op, cfg, extra):
     from edipack_tpu.ops.fused_normal import build_fused_normal
     from edipack_tpu.ops.pallas_fused import (MixedFusedKron, fused_ds_vmem_ok,
                                               wrap_exact_internal)
-    from edipack_tpu.ops.matvec import KronMatvec, MixedKronMatvec
+    from edipack_tpu.ops.matvec import (ExactKronMatvec, KronMatvec,
+                                        MixedKronMatvec)
     from edipack_tpu.ops.lanczos import eigsh_lowest
 
-    exact = KronMatvec(op, dtype=jnp.float64)
+    exact = ExactKronMatvec(op)
     fop = build_fused_normal(op, cfg.norb)
     if fop is not None and fused_ds_vmem_ok(fop):
         mv = MixedFusedKron(fop)

@@ -187,21 +187,23 @@ class EDSolver:
               flag_gf: bool = True) -> SolveResult:
         if bath_array is not None:
             self.bath = array_to_bath(bath_array, self.cfg, self.basis)
-        cfg_solve, hloc_solve, bath_solve = self.cfg, self.hloc, self.bath
-        cplx_fallback = self._cplx_normal_active()
-        if cplx_fallback:
-            cfg_solve, hloc_solve, bath_solve = self._promote_to_nonsu2()
-        um = build_umatrix(cfg_solve, runtime_terms=self.runtime_terms)
         neigen = self.neigen_sector_override
         if neigen is None and self.result is not None:
             # successive-solve annealing (reference ed_post_diag feedback:
             # neigen_sector and lanc_nstates_total persist in the module
-            # globals between ed_solve calls, ED_DIAG_NORMAL.f90:475-517)
+            # globals between ed_solve calls, ED_DIAG_NORMAL.f90:475-517) —
+            # must run BEFORE cfg_solve is derived below so the adapted
+            # budget reaches this solve
             neigen = self.result.diag.neigen_sector
             prev_total = self.result.diag.lanc_nstates_total
             if self.cfg.ed_finite_temp and prev_total \
                     and prev_total != self.cfg.lanc_nstates_total:
                 self.cfg = self.cfg.replace(lanc_nstates_total=prev_total)
+        cfg_solve, hloc_solve, bath_solve = self.cfg, self.hloc, self.bath
+        cplx_fallback = self._cplx_normal_active()
+        if cplx_fallback:
+            cfg_solve, hloc_solve, bath_solve = self._promote_to_nonsu2()
+        um = build_umatrix(cfg_solve, runtime_terms=self.runtime_terms)
         sector_mask = None
         from . import io as edio
         from .sectors import SectorTable

@@ -824,6 +824,14 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
         vec = _j_astype(vec, jnp.complex128)
     dtype = vec.dtype
     m_ref = min(m_ref, dim - 1) or 1
+    # huge sectors: every exact (emulated-f64) matvec costs seconds on a
+    # chip without native f64 — shrink the carried cluster and keep exact
+    # sweeps short; the value-convergence behaviour is unchanged, only the
+    # per-round exact-matvec budget
+    huge = dim >= (1 << 22)
+    if huge:
+        max_cluster = min(max_cluster, 4)
+    m_ref_exact = min(m_ref, 8) if huge else m_ref
     mvj = _jitted(matvec)
     block = [vec]
     hv0 = mvj(vec)
@@ -845,22 +853,29 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
     ds_rounds = 0
     prev_resid = resid0
     _last_val = [np.inf, 0]   # [last Rayleigh value, stagnant-round count]
+    import os as _os
+    import time as _time
+    _pdbg = bool(_os.environ.get("EDTPU_DEBUG_POLISH"))
     for _round in range(max_rounds):
+        _tr0 = _time.perf_counter()
+        m_swp = m_ref if ds_active else m_ref_exact
         if stats is not None:
             stats["polish_rounds"] = stats.get("polish_rounds", 0) + 1
-            stats["polish_matvecs"] = stats.get("polish_matvecs", 0) \
-                + m_ref + 1
+            if not ds_active:
+                stats["polish_matvecs"] = stats.get("polish_matvecs", 0) \
+                    + m_swp
+            stats["polish_matvecs"] = stats.get("polish_matvecs", 0) + 1
         lk = (_j_stack(deflate) if deflate
               else _j_zeros((0, dim), dtype))
         if ds_active:
-            a2, b2, V2 = lanczos_sweep_ds(sweep_op, start, m_ref, lk)
+            a2, b2, V2 = lanczos_sweep_ds(sweep_op, start, m_swp, lk)
         else:
-            a2, b2, V2 = lanczos_sweep(matvec, start, m_ref, lk)
+            a2, b2, V2 = lanczos_sweep(matvec, start, m_swp, lk)
         a2 = np.asarray(a2)
         b2 = np.asarray(b2)
-        k_eff = m_ref
+        k_eff = m_swp
         tiny = 1e-13 * max(1.0, np.abs(a2).max())
-        for j in range(m_ref - 1):
+        for j in range(m_swp - 1):
             if b2[j] < tiny:
                 k_eff = j + 1
                 break
@@ -893,10 +908,24 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
         hs = np.zeros((n_rr, n_rr), dtype=complex if cplx else float)
         hs[:k_eff, :k_eff] = t
         E = _j_stack(extras + pad_rows)                       # (KB, dim)
-        HE = _jitted(jax.vmap(matvec), owner=matvec,
-                     attr="_edtpu_jit_vmap")(E)
-        if stats is not None:
-            stats["polish_matvecs"] = stats.get("polish_matvecs", 0) + KB
+        # lax.map, not vmap: one launch with fixed shapes, but lanes run
+        # sequentially so the exact-matvec temporaries peak at ONE lane —
+        # a KB-wide vmapped f64 matvec OOMs the 16G v5e on the 11.8M
+        # flagship sector.  During DS rounds the extras products ride the
+        # DS matvec too (the RR matrix is already at DS noise there; every
+        # emulated-f64 matvec costs seconds) — exact rounds and the final
+        # Rayleigh quotients below stay exact.
+        if ds_active:
+            def _ds64(u, _op=sweep_op):
+                mhi, clo = _op.pair(u.astype(jnp.float32))
+                return (mhi.astype(jnp.float64) + clo.astype(jnp.float64))
+            HE = _jitted(lambda b: jax.lax.map(_ds64, b), owner=sweep_op,
+                         attr="_edtpu_jit_map_ds")(E)
+        else:
+            HE = _jitted(lambda b: jax.lax.map(matvec, b), owner=matvec,
+                         attr="_edtpu_jit_vmap")(E)
+            if stats is not None:
+                stats["polish_matvecs"] = stats.get("polish_matvecs", 0) + KB
         hs[:k_eff, k_eff:] = np.asarray(_j_inner(Vd, HE))
         hs[k_eff:, k_eff:] = np.asarray(_j_inner(E, HE))
         hs[k_eff:, :k_eff] = hs[:k_eff, k_eff:].conj().T
@@ -929,11 +958,11 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
         rvec = _j_axpy(hv, val, vec)
         resid = float(_j_norm(rvec))
         scale = max(1.0, abs(val))
-        import os
-        if os.environ.get("EDTPU_DEBUG_POLISH"):
+        if _pdbg:
             print(f"[polish] round {_round} ds={ds_active} k_eff={k_eff} "
                   f"kb={kb} val={val:.12f} resid={resid:.3e} "
-                  f"rr0={sv[0]:.12f}")
+                  f"rr0={sv[0]:.12f} dt={_time.perf_counter() - _tr0:.2f}s",
+                  flush=True)
         if resid < best[0]:
             best = (resid, val, vec)
         if resid < rtol * scale:
@@ -941,7 +970,7 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
         # value-stagnation stop: on huge sectors the residual floors at the
         # f32-stored-basis level (~1e-6·|H|) while the Rayleigh value has
         # long converged — two rounds without value motion end the polish
-        if abs(val - _last_val[0]) <= max(1e-13, 0.05 * rtol) * scale:
+        if abs(val - _last_val[0]) <= max(1e-10, 10.0 * rtol) * scale:
             _last_val[1] += 1
             if _last_val[1] >= 2:
                 break

@@ -282,6 +282,129 @@ class MixedKronMatvec:
         return out.reshape(-1)
 
 
+def _ell_rows(m: np.ndarray):
+    """Row-wise ELL factorization of a sparse (n, n) matrix: returns
+    (cols (n, K) int32, vals (n, K) f64) with K = max nnz/row."""
+    m = np.asarray(m, np.float64)
+    n = m.shape[0]
+    kmax = max(1, int((np.abs(m) > 0).sum(axis=1).max()))
+    cols = np.zeros((n, kmax), np.int32)
+    vals = np.zeros((n, kmax))
+    for i in range(n):
+        nz = np.nonzero(m[i])[0]
+        cols[i, :len(nz)] = nz
+        vals[i, :len(nz)] = m[i, nz]
+    return (jax.device_put(jnp.asarray(cols)),
+            jax.device_put(jnp.asarray(vals)))
+
+
+class ExactKronMatvec:
+    """EXACT f64 normal-mode matvec with SPARSE factor application.
+
+    XLA's dense f64 dot_general on TPU is software-emulated at ~10 Gflop/s
+    — one 3432-wide factor einsum on the flagship sector costs seconds,
+    which made the exact Rayleigh-Ritz polish the dominant share of
+    time-to-ground-state (r4: 843 s).  The spin-factor matrices carry only
+    ~Ns nonzeros per row, so an ELL gather + f64 elementwise FMA applies
+    them at memory-bound speed with bit-exact f64 products — ~100x faster
+    than the dense-f64 einsum at identical accuracy.  Semantics match
+    KronMatvec(dtype=f64) (pinned in tests/test_mixed_precision.py)."""
+
+    def __init__(self, op: NormalSectorOp,
+                 sharding: Optional[jax.sharding.NamedSharding] = None):
+        self.shape3 = (op.sector.dim_ph, op.hdw.shape[0], op.hup.shape[0])
+        self.dim = int(np.prod(self.shape3))
+        self.dtype = jnp.float64
+        self.nnz = op.nnz_estimate()
+        self._sharding = sharding
+        put = lambda x: jax.device_put(jnp.asarray(np.asarray(x),
+                                                   jnp.float64))
+        self.d = put(op.d)
+        self.hup_ell = _ell_rows(op.hup)
+        self.hdw_ell = _ell_rows(op.hdw)
+        self.nl = None
+        self.nl_dense = None
+        if getattr(op, "nl_perm", None) is not None:
+            src_a, sgn_a, src_b, sgn_b = op.nl_perm
+            self.nl = (jax.device_put(jnp.asarray(src_a)), put(sgn_a),
+                       jax.device_put(jnp.asarray(src_b)), put(sgn_b))
+        elif getattr(op, "nl_a", None) is not None:
+            pa = _perm_factor(op.nl_a)
+            pb = _perm_factor(op.nl_b)
+            if pa is not None and pb is not None:
+                self.nl = (jax.device_put(jnp.asarray(pa[0])), put(pa[1]),
+                           jax.device_put(jnp.asarray(pb[0])), put(pb[1]))
+            else:
+                self.nl_dense = (put(np.swapaxes(op.nl_a, 1, 2)),
+                                 put(op.nl_b))
+        self.has_ph = op.ph_mat is not None
+        if self.has_ph:
+            self.ph_mat = np.asarray(op.ph_mat, np.float64)
+            self.ph_x = np.asarray(op.ph_x, np.float64)
+            self.eph_d = put(op.eph_d)
+            self.eph_up_ell = _ell_rows(op.eph_up)
+            self.eph_dw_ell = _ell_rows(op.eph_dw)
+
+    @staticmethod
+    def _up(v, ell):
+        cols, vals = ell
+        t = jnp.take(v, cols, axis=2)              # (ph, ddw, dup, K)
+        return jnp.sum(t * vals[None, None, :, :], axis=3)
+
+    @staticmethod
+    def _dw(v, ell):
+        cols, vals = ell
+        t = jnp.take(v, cols, axis=1)              # (ph, ddw, K, dup)
+        return jnp.sum(t * vals[None, :, :, None], axis=2)
+
+    def _ph_small(self, m, v):
+        """(dim_ph, dim_ph) small matrix on the phonon axis as a python
+        loop of f64 scalar*tensor FMAs (the dense-f64 einsum would hit the
+        emulated matmul path)."""
+        rows = []
+        for p in range(m.shape[0]):
+            acc = None
+            for q in range(m.shape[1]):
+                if m[p, q] == 0.0:
+                    continue
+                term = m[p, q] * v[q]
+                acc = term if acc is None else acc + term
+            rows.append(acc if acc is not None else jnp.zeros_like(v[0]))
+        return jnp.stack(rows)
+
+    def apply3(self, v):
+        v = v.astype(jnp.float64)
+        out = self.d * v
+        out = out + self._up(v, self.hup_ell)
+        out = out + self._dw(v, self.hdw_ell)
+        if self.nl is not None:
+            src_a, sgn_a, src_b, sgn_b = self.nl
+            for k in range(src_b.shape[0]):
+                t = jnp.take(v, src_b[k], axis=1)
+                t = jnp.take(t, src_a[k], axis=2)
+                out = out + t * (sgn_b[k][None, :, None]
+                                 * sgn_a[k][None, None, :])
+        elif self.nl_dense is not None:
+            nl_a, nl_b = self.nl_dense
+            out = out + jnp.einsum("kde,peu,kuv->pdv", nl_b, v, nl_a,
+                                   preferred_element_type=jnp.float64)
+        if self.has_ph:
+            out = out + self._ph_small(self.ph_mat, v)
+            ev = self.eph_d * v + self._up(v, self.eph_up_ell) \
+                + self._dw(v, self.eph_dw_ell)
+            out = out + self._ph_small(self.ph_x, ev)
+        return out
+
+    def __call__(self, v):
+        v3 = v.reshape(self.shape3)
+        if self._sharding is not None:
+            v3 = jax.lax.with_sharding_constraint(v3, self._sharding)
+        out = self.apply3(v3)
+        if self._sharding is not None:
+            out = jax.lax.with_sharding_constraint(out, self._sharding)
+        return out.reshape(-1)
+
+
 class EllMatvec:
     """Padded-ELL sparse matvec: out[i] = Σ_k vals[i,k] * v[cols[i,k]].
 

@@ -253,7 +253,13 @@ def _normal_builders(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
             return None
         if mixed:
             mv = MixedFusedKron(fop)
-            exact_orig = KronMatvec(get_op(sec), dtype=jnp.float64)
+            # sparse-ELL exact f64 on TPU: the dense-f64 einsum is
+            # software-emulated at ~10 Gflop/s (seconds per matvec on the
+            # flagship sector — the r4 time-to-ground-state sink)
+            from ..ops.matvec import ExactKronMatvec
+            exact_orig = ExactKronMatvec(get_op(sec)) \
+                if platform in ("tpu", "axon") \
+                else KronMatvec(get_op(sec), dtype=jnp.float64)
             mv.exact = wrap_exact_internal(mv, exact_orig)
             mv.exact_orig = exact_orig
         else:
@@ -271,9 +277,11 @@ def _normal_builders(cfg: EDConfig, table: SectorTable, hloc: np.ndarray,
             if mv is not None:
                 pass
             elif mixed:
-                from ..ops.matvec import MixedKronMatvec
+                from ..ops.matvec import ExactKronMatvec, MixedKronMatvec
                 mv = MixedKronMatvec(get_op(sec))
-                exact = KronMatvec(get_op(sec), dtype=jnp.float64)
+                exact = ExactKronMatvec(get_op(sec)) \
+                    if platform in ("tpu", "axon") and not shard_it \
+                    else KronMatvec(get_op(sec), dtype=jnp.float64)
                 if shard_it:
                     from ..parallel.mesh import shard_kron_matvec
                     mv = shard_kron_matvec(mv, _mesh)

@@ -162,10 +162,11 @@ def test_replica_basis_mutators_and_bath_read(tmp_path, monkeypatch):
     np.testing.assert_allclose(np.asarray(back), np.asarray(arr))
 
 
-def test_complex_hloc_rejected_in_normal_mode(tmp_path):
-    """Normal mode is real-by-design: a genuinely complex Hloc must raise
-    (silent dreal truncation, reference real-build behavior, is refused);
-    complex-typed real values and nonsu2 complex Hloc stay accepted."""
+def test_complex_hloc_accepted_in_normal_mode(tmp_path):
+    """Complex Hloc in normal mode is ACCEPTED and routed through the
+    nonsu2 fallback at solve time (reference _CMPLX_NORMAL capability;
+    full physics equivalence pinned in tests/test_cplx_normal.py);
+    replica/general baths cannot be promoted and must raise."""
     os.chdir(tmp_path)
     cfg = default_config(norb=2, nbath=2, nspin=1, ed_verbose=0)
     set_config(cfg)
@@ -173,7 +174,6 @@ def test_complex_hloc_rejected_in_normal_mode(tmp_path):
     h = np.zeros((1, 1, 2, 2), complex)
     h[0, 0, 0, 1] = 0.1 + 0.05j
     h[0, 0, 1, 0] = 0.1 - 0.05j
-    with pytest.raises(ValueError, match="nonsu2"):
-        ed.main.ed_set_hloc(h)
+    ed.main.ed_set_hloc(h)                        # accepted (fallback)
     ed.main.ed_set_hloc(h.real.astype(complex))   # real-valued: fine
     ed.main.ed_finalize_solver()
