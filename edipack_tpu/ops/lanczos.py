@@ -871,8 +871,14 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
             a2, b2, V2 = lanczos_sweep_ds(sweep_op, start, m_swp, lk)
         else:
             a2, b2, V2 = lanczos_sweep(matvec, start, m_swp, lk)
+        if _pdbg:
+            _tp1 = _time.perf_counter()
         a2 = np.asarray(a2)
         b2 = np.asarray(b2)
+        if _pdbg:
+            print(f"[polish]   sweep {_tp1 - _tr0:.2f}s fetch "
+                  f"{_time.perf_counter() - _tp1:.2f}s", flush=True)
+            _tp1 = _time.perf_counter()
         k_eff = m_swp
         tiny = 1e-13 * max(1.0, np.abs(a2).max())
         for j in range(m_swp - 1):
@@ -926,9 +932,17 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
                          attr="_edtpu_jit_vmap")(E)
             if stats is not None:
                 stats["polish_matvecs"] = stats.get("polish_matvecs", 0) + KB
+        if _pdbg:
+            print(f"[polish]   extras+HE {_time.perf_counter() - _tp1:.2f}s",
+                  flush=True)
+            _tp1 = _time.perf_counter()
         hs[:k_eff, k_eff:] = np.asarray(_j_inner(Vd, HE))
         hs[k_eff:, k_eff:] = np.asarray(_j_inner(E, HE))
         hs[k_eff:, :k_eff] = hs[:k_eff, k_eff:].conj().T
+        if _pdbg:
+            print(f"[polish]   inner {_time.perf_counter() - _tp1:.2f}s",
+                  flush=True)
+            _tp1 = _time.perf_counter()
         hs = 0.5 * (hs + hs.conj().T)
         # pin the zero-padded RR rows far above the spectrum so they can
         # never surface among the lowest eigenvectors
@@ -953,11 +967,18 @@ def _cluster_polish(matvec, vec, deflate, dim, m_ref: int = 36,
             # input dtype, so feeding c64 would silently degrade the whole
             # exact refinement to c64 (the polish then floors at 1e-5)
             vec = _j_astype(vec, dtype)
+        if _pdbg:
+            print(f"[polish]   extract {_time.perf_counter() - _tp1:.2f}s",
+                  flush=True)
+            _tp1 = _time.perf_counter()
         hv = mvj(vec)
         val = float(_j_vdot_real(vec, hv))
         rvec = _j_axpy(hv, val, vec)
         resid = float(_j_norm(rvec))
         scale = max(1.0, abs(val))
+        if _pdbg:
+            print(f"[polish]   resid {_time.perf_counter() - _tp1:.2f}s",
+                  flush=True)
         if _pdbg:
             print(f"[polish] round {_round} ds={ds_active} k_eff={k_eff} "
                   f"kb={kb} val={val:.12f} resid={resid:.3e} "

@@ -523,6 +523,49 @@ class FusedPower:
 # ---------------------------------------------------------------------------
 
 
+class _FastLayout:
+    """Device-side original<->internal layout conversion as per-axis
+    permutation takes + reshapes.
+
+    The flat-index formulation (1D gather / scatter over dd*du elements)
+    costs ~0.75 s PER DIRECTION on an 11.8M sector — TPU 1D scatter is
+    near-serial — and was the real unit cost behind the r4 843 s
+    time-to-ground-state (every exact matvec pays both directions).  The
+    imp-MSB layout factorizes: internal[(u//BLK)*ddp + d, u%BLK] =
+    v[perm_dw[d], perm_up[u]], so the conversion is two fast axis-gathers
+    (row-major contiguous), a static pad, and a transpose."""
+
+    def __init__(self, fop):
+        self.dd, self.du = fop.dd, fop.du
+        self.ddp, self.dup = fop.ddp, fop.dup
+        self.nub = fop.dup // BLK
+        self._perm_dw = jax.device_put(jnp.asarray(fop.perm_dw, jnp.int32))
+        self._perm_up = jax.device_put(jnp.asarray(fop.perm_up, jnp.int32))
+        inv_dw = np.empty(self.dd, np.int64)
+        inv_dw[np.asarray(fop.perm_dw)] = np.arange(self.dd)
+        inv_up = np.empty(self.du, np.int64)
+        inv_up[np.asarray(fop.perm_up)] = np.arange(self.du)
+        self._iperm_dw = jax.device_put(jnp.asarray(inv_dw, jnp.int32))
+        self._iperm_up = jax.device_put(jnp.asarray(inv_up, jnp.int32))
+
+    def to_internal_flat(self, v_orig):
+        v2 = v_orig.reshape(self.dd, self.du)
+        v2 = jnp.take(v2, self._perm_dw, axis=0)
+        v2 = jnp.take(v2.T, self._perm_up, axis=0).T
+        vp = jnp.zeros((self.ddp, self.dup), v2.dtype) \
+            .at[:self.dd, :self.du].set(v2)
+        return vp.reshape(self.ddp, self.nub, BLK) \
+            .transpose(1, 0, 2).reshape(-1)
+
+    def from_internal_flat(self, v_int):
+        x = v_int.reshape(self.nub, self.ddp, BLK) \
+            .transpose(1, 0, 2).reshape(self.ddp, self.dup)
+        v2 = x[:self.dd, :self.du]
+        v2 = jnp.take(v2, self._iperm_dw, axis=0)
+        v2 = jnp.take(v2.T, self._iperm_up, axis=0).T
+        return v2.reshape(-1)
+
+
 class FusedKron:
     """Solver-facing f32 matvec on flat internal vectors (n_internal,).
 
@@ -540,6 +583,7 @@ class FusedKron:
         self.dtype = jnp.float32
         self.nnz = fop.nnz
         self._idx = jax.device_put(jnp.asarray(fop.internal_index_map()))
+        self._layout = _FastLayout(fop)
         mask = np.zeros(fop.n_internal, np.float32)
         mask[fop.internal_index_map()] = 1.0
         self._mask = jax.device_put(jnp.asarray(mask))
@@ -552,11 +596,10 @@ class FusedKron:
         return v * self._mask.astype(v.dtype)
 
     def to_internal_flat(self, v_orig):
-        out = jnp.zeros(self.dim, v_orig.dtype)
-        return out.at[self._idx].set(v_orig.reshape(-1))
+        return self._layout.to_internal_flat(v_orig)
 
     def from_internal_flat(self, v_int):
-        return v_int.reshape(-1)[self._idx]
+        return self._layout.from_internal_flat(v_int)
 
 
 class MixedFusedKron:
@@ -581,6 +624,7 @@ class MixedFusedKron:
         self.ds_recurrence_ok = not _interpret()
         self._ds = FusedMatvecDS(fop, hi_precision=hi_precision)
         self._idx = jax.device_put(jnp.asarray(fop.internal_index_map()))
+        self._layout = _FastLayout(fop)
         mask = np.zeros(fop.n_internal, np.float64)
         mask[fop.internal_index_map()] = 1.0
         self._mask = jax.device_put(jnp.asarray(mask))
@@ -603,11 +647,10 @@ class MixedFusedKron:
         return v * self._mask.astype(v.dtype)
 
     def to_internal_flat(self, v_orig):
-        out = jnp.zeros(self.dim, v_orig.dtype)
-        return out.at[self._idx].set(v_orig.reshape(-1))
+        return self._layout.to_internal_flat(v_orig)
 
     def from_internal_flat(self, v_int):
-        return v_int.reshape(-1)[self._idx]
+        return self._layout.from_internal_flat(v_int)
 
 
 def wrap_exact_internal(fused, exact_orig):
