@@ -409,11 +409,16 @@ class JointKronMatvec:
 
     @staticmethod
     def _gather_reduce(t2, wdw, usgn, precision=None):
-        """out[p,d,u] = Σ_k wdw[k,d] * usgn[k,u] * t2[p,k,d,u] — one fused
-        einsum so the weighted tensor is never materialized."""
-        return jnp.einsum("pkdu,kd,ku->pdu", t2, wdw.astype(t2.dtype),
-                          usgn.astype(t2.dtype), precision=precision,
-                          preferred_element_type=t2.dtype)
+        """out[p,d,u] = Σ_k wdw[k,d] * usgn[k,u] * t2[p,k,d,u].
+
+        Elementwise multiply chain + sum: XLA fuses it into one loop
+        fusion over t2 (measured faster than the equivalent einsum on
+        v5e), and elementwise f32 products are exact f32 — no matmul
+        precision knob needed (the ``precision`` arg is accepted for
+        call-site compatibility)."""
+        w3 = (wdw[None, :, :, None].astype(t2.dtype)
+              * usgn[None, :, None, :].astype(t2.dtype))
+        return (t2 * w3).sum(axis=1)
 
     def split_blocks(self, v):
         v2 = v.reshape(self.dim_ph, self.dim_el_pad)
@@ -515,31 +520,26 @@ class _RealExactJoint:
         ox = [op.diag64[i] * X[i] for i in range(len(X))]
         oy = [op.diag64[i] * Y[i] for i in range(len(Y))]
         f64 = jnp.float64
+        from ..ops.matvec import ExactKronMatvec as _EK
         for i in range(len(X)):
-            if op.hup_ri[i] is not None:
-                re_m, im_m = op.hup_ri[i]
-                if re_m is not None:
-                    ox[i] = ox[i] + jnp.einsum("pdu,uv->pdv", X[i], re_m,
-                                               preferred_element_type=f64)
-                    oy[i] = oy[i] + jnp.einsum("pdu,uv->pdv", Y[i], re_m,
-                                               preferred_element_type=f64)
-                if im_m is not None:
-                    ox[i] = ox[i] - jnp.einsum("pdu,uv->pdv", Y[i], im_m,
-                                               preferred_element_type=f64)
-                    oy[i] = oy[i] + jnp.einsum("pdu,uv->pdv", X[i], im_m,
-                                               preferred_element_type=f64)
-            if op.hdw_ri[i] is not None:
-                re_m, im_m = op.hdw_ri[i]
-                if re_m is not None:
-                    ox[i] = ox[i] + jnp.einsum("de,peu->pdu", re_m, X[i],
-                                               preferred_element_type=f64)
-                    oy[i] = oy[i] + jnp.einsum("de,peu->pdu", re_m, Y[i],
-                                               preferred_element_type=f64)
-                if im_m is not None:
-                    ox[i] = ox[i] - jnp.einsum("de,peu->pdu", im_m, Y[i],
-                                               preferred_element_type=f64)
-                    oy[i] = oy[i] + jnp.einsum("de,peu->pdu", im_m, X[i],
-                                               preferred_element_type=f64)
+            # factors applied in sparse-ELL form (gather + f64 elementwise
+            # FMA): dense f64 dots are software-emulated ~100x slower
+            if op.hup_ell[i] is not None:
+                re_e, im_e = op.hup_ell[i]
+                if re_e is not None:
+                    ox[i] = ox[i] + _EK._up(X[i], re_e)
+                    oy[i] = oy[i] + _EK._up(Y[i], re_e)
+                if im_e is not None:
+                    ox[i] = ox[i] - _EK._up(Y[i], im_e)
+                    oy[i] = oy[i] + _EK._up(X[i], im_e)
+            if op.hdw_ell[i] is not None:
+                re_e, im_e = op.hdw_ell[i]
+                if re_e is not None:
+                    ox[i] = ox[i] + _EK._dw(X[i], re_e)
+                    oy[i] = oy[i] + _EK._dw(Y[i], re_e)
+                if im_e is not None:
+                    ox[i] = ox[i] - _EK._dw(Y[i], im_e)
+                    oy[i] = oy[i] + _EK._dw(X[i], im_e)
         for (src, dst, dw_idx, up_idx, (w_re, w_im, usgn)) in op.gathers_ri:
             ax, ay = _gather_ri(X[src], Y[src], dw_idx, up_idx, w_re, w_im,
                                 usgn)
@@ -550,60 +550,48 @@ class _RealExactJoint:
             # (ph_mat64/ph_x64/eph_diag64/eph_*_ri, stored by
             # MixedJointKron.__init__) — the parent's f32/c64 operands would
             # floor the exact path at ~1e-7 operand rounding
-            phm = op.ph_mat64
-            phx = op.ph_x64
             exb = [op.eph_diag64[i] * X[i] for i in range(len(X))]
             eyb = [op.eph_diag64[i] * Y[i] for i in range(len(Y))]
             for i in range(len(X)):
-                if op.eph_up_ri[i] is not None:
-                    re_m, im_m = op.eph_up_ri[i]
-                    if re_m is not None:
-                        exb[i] = exb[i] \
-                            + jnp.einsum("pdu,uv->pdv", X[i], re_m,
-                                         preferred_element_type=f64)
-                        eyb[i] = eyb[i] \
-                            + jnp.einsum("pdu,uv->pdv", Y[i], re_m,
-                                         preferred_element_type=f64)
-                    if im_m is not None:
-                        exb[i] = exb[i] \
-                            - jnp.einsum("pdu,uv->pdv", Y[i], im_m,
-                                         preferred_element_type=f64)
-                        eyb[i] = eyb[i] \
-                            + jnp.einsum("pdu,uv->pdv", X[i], im_m,
-                                         preferred_element_type=f64)
-                if op.eph_dw_ri[i] is not None:
-                    re_m, im_m = op.eph_dw_ri[i]
-                    if re_m is not None:
-                        exb[i] = exb[i] \
-                            + jnp.einsum("de,peu->pdu", re_m, X[i],
-                                         preferred_element_type=f64)
-                        eyb[i] = eyb[i] \
-                            + jnp.einsum("de,peu->pdu", re_m, Y[i],
-                                         preferred_element_type=f64)
-                    if im_m is not None:
-                        exb[i] = exb[i] \
-                            - jnp.einsum("de,peu->pdu", im_m, Y[i],
-                                         preferred_element_type=f64)
-                        eyb[i] = eyb[i] \
-                            + jnp.einsum("de,peu->pdu", im_m, X[i],
-                                         preferred_element_type=f64)
+                if op.eph_up_ell[i] is not None:
+                    re_e, im_e = op.eph_up_ell[i]
+                    if re_e is not None:
+                        exb[i] = exb[i] + _EK._up(X[i], re_e)
+                        eyb[i] = eyb[i] + _EK._up(Y[i], re_e)
+                    if im_e is not None:
+                        exb[i] = exb[i] - _EK._up(Y[i], im_e)
+                        eyb[i] = eyb[i] + _EK._up(X[i], im_e)
+                if op.eph_dw_ell[i] is not None:
+                    re_e, im_e = op.eph_dw_ell[i]
+                    if re_e is not None:
+                        exb[i] = exb[i] + _EK._dw(X[i], re_e)
+                        eyb[i] = eyb[i] + _EK._dw(Y[i], re_e)
+                    if im_e is not None:
+                        exb[i] = exb[i] - _EK._dw(Y[i], im_e)
+                        eyb[i] = eyb[i] + _EK._dw(X[i], im_e)
             for (src, dst, dw_idx, up_idx, (w_re, w_im, usgn)) \
                     in op.eph_gathers_ri:
                 ax, ay = _gather_ri(X[src], Y[src], dw_idx, up_idx,
                                     w_re, w_im, usgn)
                 exb[dst] = exb[dst] + ax
                 eyb[dst] = eyb[dst] + ay
+            def phap(m, t):
+                rows = []
+                for p in range(m.shape[0]):
+                    acc = None
+                    for q in range(m.shape[1]):
+                        if m[p, q] == 0.0:
+                            continue
+                        term = m[p, q] * t[q]
+                        acc = term if acc is None else acc + term
+                    rows.append(acc if acc is not None
+                                else jnp.zeros_like(t[0]))
+                return jnp.stack(rows)
             for i in range(len(X)):
-                ox[i] = ox[i] \
-                    + jnp.einsum("pq,qdu->pdu", phm, X[i],
-                                 preferred_element_type=f64) \
-                    + jnp.einsum("pq,qdu->pdu", phx, exb[i],
-                                 preferred_element_type=f64)
-                oy[i] = oy[i] \
-                    + jnp.einsum("pq,qdu->pdu", phm, Y[i],
-                                 preferred_element_type=f64) \
-                    + jnp.einsum("pq,qdu->pdu", phx, eyb[i],
-                                 preferred_element_type=f64)
+                ox[i] = ox[i] + phap(op.ph_mat_h, X[i]) \
+                    + phap(op.ph_x_h, exb[i])
+                oy[i] = oy[i] + phap(op.ph_mat_h, Y[i]) \
+                    + phap(op.ph_x_h, eyb[i])
         flat_x = jnp.concatenate([w.reshape(op.dim_ph, -1) for w in ox],
                                  axis=1).reshape(-1)
         flat_y = jnp.concatenate([w.reshape(op.dim_ph, -1) for w in oy],
@@ -720,6 +708,24 @@ class MixedJointKron(JointKronMatvec):
             hp = np.zeros((s[0], s[0]), complex)
             hp[:h.shape[0], :h.shape[1]] = h
             self.hdw_ri.append(ri(hp))
+        # sparse-ELL forms of the same factors: the exact path applies them
+        # as gathers + f64 elementwise FMA — dense f64 dots are software-
+        # emulated at ~10 Gflop/s on chips without native f64 (see
+        # ops.matvec.ExactKronMatvec)
+        from ..ops.matvec import _ell_rows
+
+        def ri_ell(h, pad_to=None):
+            h = np.asarray(h, complex)
+            if pad_to is not None:
+                hpz = np.zeros((pad_to, pad_to), complex)
+                hpz[:h.shape[0], :h.shape[1]] = h
+                h = hpz
+            re = _ell_rows(h.real) if np.any(h.real) else None
+            im = _ell_rows(h.imag) if np.any(h.imag) else None
+            return (re, im)
+        self.hup_ell = [ri_ell(h) if np.any(h) else None for h in acc.hup]
+        self.hdw_ell = [ri_ell(h, pad_to=s[0]) if np.any(h) else None
+                        for h, s in zip(acc.hdw, self._shapes)]
         self.diag64 = []
         for b, s in zip(self.blocks, self._shapes):
             dp = np.zeros(s)
@@ -735,6 +741,8 @@ class MixedJointKron(JointKronMatvec):
             ph_mat, ph_x = _phonon_matrices(cfg)
             self.ph_mat64 = putr64(np.real(ph_mat))
             self.ph_x64 = putr64(np.real(ph_x))
+            self.ph_mat_h = np.real(np.asarray(ph_mat, complex))
+            self.ph_x_h = np.real(np.asarray(ph_x, complex))
             self.eph_diag64 = []
             for b, s in zip(self.blocks, self._shapes):
                 dp = np.zeros(s)
@@ -757,6 +765,11 @@ class MixedJointKron(JointKronMatvec):
                 hp_ = np.zeros((s[0], s[0]), complex)
                 hp_[:h.shape[0], :h.shape[1]] = h
                 self.eph_dw_ri.append(ri(hp_))
+            from ..ops.matvec import _ell_rows as _er  # noqa: F811
+            self.eph_up_ell = [ri_ell(h) if np.any(h) else None
+                               for h in eph_acc.hup]
+            self.eph_dw_ell = [ri_ell(h, pad_to=s[0]) if np.any(h) else None
+                               for h, s in zip(eph_acc.hdw, self._shapes)]
         else:
             self.ph_mat64 = self.ph_x64 = None
             self.eph_diag64 = self.eph_up_ri = self.eph_dw_ri = None
