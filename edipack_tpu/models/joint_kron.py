@@ -693,22 +693,7 @@ class MixedJointKron(JointKronMatvec):
         self._cdtype_out = (jnp.complex64
                             if jax.devices()[0].platform in ("tpu", "axon")
                             else jnp.complex128)
-        # f64 real/imag operand copies for the exact path
-        def ri(h):
-            h = np.asarray(h, complex)
-            re = putr64(h.real) if np.any(h.real) else None
-            im = putr64(h.imag) if np.any(h.imag) else None
-            return re, im
-        self.hup_ri = [ri(h.T) if np.any(h) else None for h in acc.hup]
-        self.hdw_ri = []
-        for h, s in zip(acc.hdw, self._shapes):
-            if not np.any(h):
-                self.hdw_ri.append(None)
-                continue
-            hp = np.zeros((s[0], s[0]), complex)
-            hp[:h.shape[0], :h.shape[1]] = h
-            self.hdw_ri.append(ri(hp))
-        # sparse-ELL forms of the same factors: the exact path applies them
+        # sparse-ELL forms of the f64 factors: the exact path applies them
         # as gathers + f64 elementwise FMA — dense f64 dots are software-
         # emulated at ~10 Gflop/s on chips without native f64 (see
         # ops.matvec.ExactKronMatvec)
@@ -735,7 +720,7 @@ class MixedJointKron(JointKronMatvec):
         # f64 phonon/e-ph operand copies for the exact path: the c64-mode
         # parent stores ph_mat/ph_x/eph_diag at f32 and the e-ph factors at
         # c64, which would floor the 'exact' polish at ~1e-7 operand
-        # rounding (mirrors hup_ri/diag64 above)
+        # rounding (mirrors the ELL factor forms / diag64 above)
         if self.has_ph:
             from .normal import _phonon_matrices
             ph_mat, ph_x = _phonon_matrices(cfg)
@@ -749,30 +734,13 @@ class MixedJointKron(JointKronMatvec):
                 dp[:b.ddw] = acc.eph_diag[b.offset:b.offset + b.size] \
                     .reshape(b.ddw, b.dup)
                 self.eph_diag64.append(putr64(dp))
-
-            def ri(h):
-                h = np.asarray(h, complex)
-                re = putr64(h.real) if np.any(h.real) else None
-                im = putr64(h.imag) if np.any(h.imag) else None
-                return re, im
-            self.eph_up_ri = [ri(h.T) if np.any(h) else None
-                              for h in eph_acc.hup]
-            self.eph_dw_ri = []
-            for h, s in zip(eph_acc.hdw, self._shapes):
-                if not np.any(h):
-                    self.eph_dw_ri.append(None)
-                    continue
-                hp_ = np.zeros((s[0], s[0]), complex)
-                hp_[:h.shape[0], :h.shape[1]] = h
-                self.eph_dw_ri.append(ri(hp_))
-            from ..ops.matvec import _ell_rows as _er  # noqa: F811
             self.eph_up_ell = [ri_ell(h) if np.any(h) else None
                                for h in eph_acc.hup]
             self.eph_dw_ell = [ri_ell(h, pad_to=s[0]) if np.any(h) else None
                                for h, s in zip(eph_acc.hdw, self._shapes)]
         else:
             self.ph_mat64 = self.ph_x64 = None
-            self.eph_diag64 = self.eph_up_ri = self.eph_dw_ri = None
+            self.eph_diag64 = self.eph_up_ell = self.eph_dw_ell = None
         self.exact = _RealExactJoint(self)
 
     def _pair_blocks(self, vb):
@@ -922,14 +890,14 @@ def _jkm_unflatten(aux, children):
 def _mjk_flatten(op):
     dyn = _jkm_dyn(op)
     dyn.update(hup_lo=op.hup_lo, hdw_lo=op.hdw_lo, diag_lo=op.diag_lo,
-               hup_ri=op.hup_ri, hdw_ri=op.hdw_ri, diag64=op.diag64,
+               hup_ell=op.hup_ell, hdw_ell=op.hdw_ell, diag64=op.diag64,
                gather_lo=op.gather_lo,
                g_ri=[tuple(g[2:]) for g in op.gathers_ri],
                eph_g_ri=[tuple(g[2:]) for g in op.eph_gathers_ri])
     if op.has_ph:
         dyn.update(ph_mat64=op.ph_mat64, ph_x64=op.ph_x64,
-                   eph_diag64=op.eph_diag64, eph_up_ri=op.eph_up_ri,
-                   eph_dw_ri=op.eph_dw_ri)
+                   eph_diag64=op.eph_diag64, eph_up_ell=op.eph_up_ell,
+                   eph_dw_ell=op.eph_dw_ell)
     return (dyn,), op
 
 
@@ -941,8 +909,8 @@ def _mjk_unflatten(aux, children):
     op.hup_lo = list(dyn["hup_lo"])
     op.hdw_lo = list(dyn["hdw_lo"])
     op.diag_lo = list(dyn["diag_lo"])
-    op.hup_ri = list(dyn["hup_ri"])
-    op.hdw_ri = list(dyn["hdw_ri"])
+    op.hup_ell = list(dyn["hup_ell"])
+    op.hdw_ell = list(dyn["hdw_ell"])
     op.diag64 = list(dyn["diag64"])
     op.gather_lo = list(dyn["gather_lo"])
     op.gathers_ri = [g[:2] + tuple(ga)
@@ -954,8 +922,8 @@ def _mjk_unflatten(aux, children):
         op.ph_mat64 = dyn["ph_mat64"]
         op.ph_x64 = dyn["ph_x64"]
         op.eph_diag64 = list(dyn["eph_diag64"])
-        op.eph_up_ri = list(dyn["eph_up_ri"])
-        op.eph_dw_ri = list(dyn["eph_dw_ri"])
+        op.eph_up_ell = list(dyn["eph_up_ell"])
+        op.eph_dw_ell = list(dyn["eph_dw_ell"])
     op.exact = _RealExactJoint(op)
     return op
 
