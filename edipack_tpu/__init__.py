@@ -55,6 +55,7 @@ from .main import (
     ed_get_chi,
     ed_get_rdm,
     ed_get_sp_dm,
+    ed_get_quantum_soc_operators,
     ed_get_imp_info,
     ed_get_g0and,
     ed_get_delta,
