@@ -196,6 +196,13 @@ class EDConfig:
     #                                 solve here (view with tensorboard /
     #                                 xprof; EDIPACK_TPU_PROFILE_DIR env
     #                                 var overrides)
+    ed_sanitize: bool = False       # debug-build analog of the reference's
+    #                                 BUILD_TYPE=DEBUG/TESTING (-fcheck=all,
+    #                                 -fbacktrace; reference CMakeLists):
+    #                                 traps NaNs in jitted code and runs
+    #                                 Hermiticity / finiteness self-checks
+    #                                 on every sector operator and spectrum
+    #                                 (EDIPACK_TPU_SANITIZE=1 env overrides)
 
     # ------------------------------------------------------------------
     @property

@@ -185,6 +185,22 @@ class EDSolver:
 
     def solve(self, bath_array: Optional[np.ndarray] = None,
               flag_gf: bool = True) -> SolveResult:
+        from .solver.diag import sanitize_enabled
+        if sanitize_enabled(self.cfg):
+            # debug-build analog (reference BUILD_TYPE=DEBUG): trap NaNs
+            # produced inside jitted device code at the op that made them;
+            # scoped to this solve so the global flag does not leak
+            import jax
+            prev = jax.config.jax_debug_nans
+            jax.config.update("jax_debug_nans", True)
+            try:
+                return self._solve_inner(bath_array, flag_gf)
+            finally:
+                jax.config.update("jax_debug_nans", prev)
+        return self._solve_inner(bath_array, flag_gf)
+
+    def _solve_inner(self, bath_array: Optional[np.ndarray],
+                     flag_gf: bool) -> SolveResult:
         if bath_array is not None:
             self.bath = array_to_bath(bath_array, self.cfg, self.basis)
         neigen = self.neigen_sector_override

@@ -128,6 +128,11 @@ def diagonalize_sites(cfg: EDConfig, table: SectorTable,
             for bi, (s, i) in enumerate(chunk):
                 h = dense_builders[s](table.sector(i))
                 d = h.shape[0]
+                if sanitize_enabled(cfg) and not np.allclose(
+                        h, np.conj(h.T), atol=1e-10 * (np.abs(h).max() + 1)):
+                    raise AssertionError(
+                        f"[ed_sanitize] sector {i} (site {s}): dense H is "
+                        f"not Hermitian — term builder bug")
                 dims.append(d)
                 if np.iscomplexobj(h):
                     cplx = True
@@ -218,11 +223,16 @@ def diagonalize_sites(cfg: EDConfig, table: SectorTable,
             from ..ops.lanczos import eigsh_lowest_batch
             nevs = [min(max(int(neigen[s, i]), 1), dim - 1) or 1
                     for s, i, _ in chunk]
+            if sanitize_enabled(cfg):
+                for s, i, mv in chunk:
+                    _sanitize_mv(cfg, i, mv)
             res = eigsh_lowest_batch([mv for _, _, mv in chunk], nevs, m=m,
                                      tol=max(cfg.lanc_tolerance, 2e-6),
                                      max_restarts=max(4,
                                                       cfg.lanc_niter // m))
             for (s, i, _), (vals, vecs) in zip(chunk, res):
+                if sanitize_enabled(cfg):
+                    _sanitize_spectrum(i, vals)
                 evals_by_sector[s][i] = vals
                 for j in range(len(vals)):
                     sls[s].add(EigenState(float(vals[j]), i, vecs[j]))
@@ -263,12 +273,69 @@ def diagonalize_sites(cfg: EDConfig, table: SectorTable,
     return out
 
 
+def sanitize_enabled(cfg: EDConfig) -> bool:
+    import os as _os
+    return bool(cfg.ed_sanitize
+                or _os.environ.get("EDIPACK_TPU_SANITIZE", "") not in ("", "0"))
+
+
+def _sanitize_mv(cfg: EDConfig, i: int, mv) -> None:
+    """Debug-build self-check of one sector operator (reference
+    BUILD_TYPE=DEBUG runtime checking analog): verifies the device matvec
+    is symmetric/Hermitian on a random pair — <u, Hv> == <Hu, v> — which
+    catches term sign/layout bugs at the operator level before they
+    surface as wrong physics.  Tolerance is set by the DS matvec noise
+    floor (~3e-7 relative, docs/benchmarks.md)."""
+    rng = np.random.default_rng(1234 + i)
+    dt = getattr(mv, "dtype", jnp.float64)
+    cplx = jnp.issubdtype(dt, jnp.complexfloating)
+
+    def rand_vec():
+        x = rng.normal(size=mv.dim)
+        if cplx:
+            from ..ops.matvec import device_put_cplx
+            v = device_put_cplx(x + 1j * rng.normal(size=mv.dim), dt)
+        else:
+            v = jax.device_put(jnp.asarray(x.astype(np.dtype(dt))))
+        proj = getattr(mv, "v0_project", None)
+        return jax.jit(proj)(v) if proj is not None else v
+
+    u, v = rand_vec(), rand_vec()
+
+    def body(op, u, v):
+        hu, hv = op(u), op(v)
+        s1 = jnp.vdot(u, hv)
+        s2 = jnp.vdot(hu, v)
+        scale = (jnp.linalg.norm(u) * jnp.linalg.norm(hv)
+                 + jnp.linalg.norm(hu) * jnp.linalg.norm(v) + 1e-30)
+        return jnp.abs(s1 - s2) / scale
+
+    try:
+        # registered-pytree operators ride as jit arguments (required on
+        # transports that cannot embed device arrays as constants)
+        defect = float(jax.jit(body)(mv, u, v))
+    except TypeError:
+        defect = float(jax.jit(lambda a, b: body(mv, a, b))(u, v))
+    if not np.isfinite(defect) or defect > 5e-5:
+        raise AssertionError(
+            f"[ed_sanitize] sector {i}: matvec Hermiticity defect "
+            f"{defect:.3e} (limit 5e-5) — operator term bug or NaN")
+
+
+def _sanitize_spectrum(i: int, vals: np.ndarray) -> None:
+    if not np.all(np.isfinite(np.asarray(vals))):
+        raise AssertionError(
+            f"[ed_sanitize] sector {i}: non-finite eigenvalues {vals}")
+
+
 def _lanczos_solve_sector(cfg: EDConfig, table: SectorTable, i: int,
                           matvec_builder, nev_req: int, sl: StateList,
                           evals_by_sector: Dict[int, np.ndarray]) -> None:
     """Solve one Lanczos-sized sector into ``sl`` / ``evals_by_sector``."""
     sec = table.sector(i)
     mv = matvec_builder(sec)
+    if sanitize_enabled(cfg):
+        _sanitize_mv(cfg, i, mv)
     nev = min(max(nev_req, 1), mv.dim - 1) or 1
     m = min(mv.dim, max(cfg.lanc_ncv_factor * nev + cfg.lanc_ncv_add,
                         4 * nev + 24, 48))
@@ -286,6 +353,8 @@ def _lanczos_solve_sector(cfg: EDConfig, table: SectorTable, i: int,
                               tol=tol,
                               max_restarts=max(4, cfg.lanc_niter // m),
                               refine_matvec=refine)
+    if sanitize_enabled(cfg):
+        _sanitize_spectrum(i, vals)
     evals_by_sector[i] = vals
     conv = getattr(mv, "from_internal_flat", None)
     for j in range(len(vals)):
