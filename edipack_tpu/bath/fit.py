@@ -370,11 +370,28 @@ def chi2_fitgf(cfg: EDConfig, func: np.ndarray, bath_array: np.ndarray,
                 diff = diff * mask[:, :, None]
             return reduce_chi2(diff)
 
-    val_grad = jax.jit(jax.value_and_grad(chi2))
+    # The chi^2 objective is tiny-tensor work (norb^2 x Lfit) driven by a
+    # host-side scipy optimizer that fetches a scalar every iteration: pin
+    # it to the host CPU backend.  On an accelerator default backend each
+    # of the O(cg_niter x restarts) iterations would pay a device
+    # round-trip (~40 ms on a tunneled TPU — minutes per fit) for work the
+    # host does in microseconds; the reference likewise fits on the host
+    # (ED_FIT_COMMON chi2 + fmin_cg).
+    try:
+        _fit_dev = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:  # pragma: no cover - cpu backend always exists
+        _fit_dev = None
+
+    import contextlib
+    _on_cpu = (jax.default_device(_fit_dev) if _fit_dev is not None
+               else contextlib.nullcontext())
+    with _on_cpu:
+        val_grad = jax.jit(jax.value_and_grad(chi2))
 
     def fun(x):
-        v, g = val_grad(jnp.asarray(x))
-        return float(v), np.asarray(g, dtype=float)
+        with _on_cpu:
+            v, g = val_grad(jnp.asarray(x))
+            return float(v), np.asarray(g, dtype=float)
 
     x0 = np.asarray(p_full)[np.asarray(fit_idx)]
     # cg_method 0 -> CG (reference fmin_cg); 1 -> the "minimize" backend,
