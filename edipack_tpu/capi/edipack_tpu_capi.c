@@ -33,6 +33,17 @@ const char *edtpu_last_error(void) { return g_err; }
 int edtpu_init(void) {
   if (g_mod) return 0;
   if (!Py_IsInitialized()) Py_Initialize();
+  /* EDIPACK_TPU_PLATFORM=cpu|tpu pins the JAX backend of the embedded
+   * interpreter.  Needed because site hooks of managed environments may
+   * override the standard JAX_PLATFORMS env var after Py_Initialize. */
+  const char *plat = getenv("EDIPACK_TPU_PLATFORM");
+  if (plat && plat[0]) {
+    char buf[256];
+    snprintf(buf, sizeof buf,
+             "import jax\njax.config.update('jax_platforms', '%.32s')\n",
+             plat);
+    PyRun_SimpleString(buf);
+  }
   g_mod = PyImport_ImportModule("edipack_tpu");
   if (!g_mod) {
     set_err_from_python();
