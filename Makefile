@@ -21,4 +21,10 @@ bench:
 capi:
 	$(MAKE) -C edipack_tpu/capi
 
-.PHONY: test test-full bench capi
+# runnable examples (Bethe DMFT loop; Python + reference-ABI C driver)
+examples: capi
+	cd examples/python && PYTHONPATH=../.. python hm_bethe.py nloop=3
+	$(MAKE) -C examples/c
+	cd examples/c && PYTHONPATH=../.. EDIPACK_TPU_PLATFORM=cpu ./hm_bethe
+
+.PHONY: test test-full bench capi examples
