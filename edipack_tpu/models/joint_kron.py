@@ -777,19 +777,11 @@ class MixedJointKron(JointKronMatvec):
         for lo_w, (src, dst, dw_idx, up_idx, wdw, usgn) in zip(
                 self.gather_lo, self.gathers):
             t2 = self._gather_take(vb[src], dw_idx, up_idx)
-            if lo_w is None:
-                main[dst] = main[dst] + self._gather_reduce(t2, wdw, usgn,
-                                                            precision=hp)
-                continue
-            # hi and lo weight planes reduce in ONE fusion so the
-            # k-expanded t2 is read from HBM once, not twice (the gather
-            # intermediates dominate the joint matvec; docs/benchmarks.md)
-            w2 = jnp.stack([wdw, lo_w])                       # (2, k, d)
-            w3 = (w2[:, None, :, :, None].astype(t2.dtype)
-                  * usgn[None, None, :, None, :].astype(t2.dtype))
-            both = (t2[None] * w3).sum(axis=2)                # (2, p, d, u)
-            main[dst] = main[dst] + both[0]
-            corr[dst] = corr[dst] + both[1]
+            main[dst] = main[dst] + self._gather_reduce(t2, wdw, usgn,
+                                                        precision=hp)
+            if lo_w is not None:
+                corr[dst] = corr[dst] + self._gather_reduce(
+                    t2, lo_w, usgn, precision=hp)
         if self.has_ph:
             ev = self._apply_el(vb, self.eph_up_b, self.eph_dw_b,
                                 self.eph_diag_b, self.eph_gathers,
